@@ -1,0 +1,294 @@
+"""Batch inverted-index builder (the rebuild of the reference's
+``startIndexing`` path, ``services/IndexingServiceImpl.java:73-155``).
+
+Two shuffle stages (SURVEY.md §3.2 "Spark rebuild"):
+
+- **Stage 1 — scan/analyze**: corpus scan -> deterministic doc-id
+  assignment -> vectorized tokenize+lemmatize+tf Arrow UDF
+  (``mapInPandas``; replaces the inline ``LemmaFinder.collectLemmas``
+  call at ``IndexingServiceImpl.java:337-338``) -> flat postings
+  ``(term, doc_id, tf, dl, repo)`` written partitioned by
+  ``bucket = pmod(xxhash64(term), P)``, plus ``doc_stats``.
+- **Stage 2 — shuffle/encode**: flat postings -> salt =
+  ``pmod(doc_id, S)`` -> groupBy(term, salt) sort-merge shuffle ->
+  ``applyInPandas`` block encoder (delta+varint+skip+block-max) ->
+  ``postings/`` runs + ``term_stats`` + ``term_repo_stats``.
+
+The reference buffers every posting of the whole crawl in one in-memory
+set and flushes once (``LemmaFinder.java:32,113-115``,
+``IndexingServiceImpl.java:148-150``); here that accumulate-then-flush
+IS the stage-2 shuffle, with spill-to-disk for free.
+
+Each stage writes a checkpoint manifest with per-partition lineage
+metrics (postings emitted, runs/blocks encoded, bytes compressed);
+re-running ``build_index`` over the same (source, config) skips
+completed stages — the resumability contract of ``north_rule``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.analyzer import term_frequencies
+from searchengine_spark.config import IndexConfig
+from searchengine_spark.index.format import (
+    POSTING_RUN_SCHEMA,
+    encode_run_pdf,
+)
+
+#: columns that define the deterministic global document order
+DOC_ORDER = ["repo", "path", "commit"]
+
+ANALYZED_SCHEMA = "doc_id long, term string, tf int, dl int, repo string"
+
+
+def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Assign deterministic dense ``doc_id`` ordered by (repo, path, commit).
+
+    NOT ``monotonically_increasing_id`` (partitioning-dependent — would
+    break rank-identity and resume, SURVEY.md §7.0) and NOT a single
+    global window (driver bottleneck at 10^12 rows).  Two-level scheme:
+
+    1. range-repartition + sort by the order columns;
+    2. count rows per range partition (tiny driver-side array);
+    3. ``mapInPandas`` adds ``offset[pid] + local_row_number``.
+
+    Because range partitions are ordered and (repo, path, commit) is a
+    total order, the resulting id equals the global rank regardless of
+    where the range boundaries fall — so the ids are reproducible across
+    cluster sizes and reruns.
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (
+        docs.repartitionByRange(num_partitions, *[F.col(c) for c in DOC_ORDER])
+        .sortWithinPartitions(*DOC_ORDER)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in arranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + ", doc_id long"
+
+    def add_ids(iterator):
+        seen = 0
+        pid = None
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            base = offsets.get(pid, 0) + seen
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = range(base, base + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return arranged.mapInPandas(add_ids, schema=out_schema)
+
+
+def _analyze_partitions(iterator):
+    """mapInPandas kernel: (doc_id, repo, content) -> postings rows.
+
+    Vectorized end-to-end (searchengine_spark.analyzer); doclen = Σtf is
+    computed in-batch because each document is exactly one input row.
+    """
+    import pandas as pd  # local import: runs on executors
+
+    for pdf in iterator:
+        tf = term_frequencies(pdf["doc_id"], pdf["content"])
+        if tf.empty:
+            continue
+        tf["dl"] = tf.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int32")
+        repo_map = pd.Series(pdf["repo"].values, index=pdf["doc_id"].values)
+        tf["repo"] = tf["doc_id"].map(repo_map)
+        yield tf[["doc_id", "term", "tf", "dl", "repo"]]
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "_checkpoints", f"{stage}.json")
+
+
+def _load_manifest(out_dir: str, stage: str) -> dict | None:
+    p = _manifest_path(out_dir, stage)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _write_manifest(out_dir: str, stage: str, payload: dict) -> None:
+    os.makedirs(os.path.join(out_dir, "_checkpoints"), exist_ok=True)
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    source: str = "",
+    force: bool = False,
+    store_content: bool = False,
+) -> dict:
+    """Build (or resume) the full index under ``out_dir``.
+
+    ``store_content=True`` keeps the raw content column in doc_stats so
+    snippets need no corpus re-read — test/small-index convenience; at
+    production scale leave False and record ``source`` so the snippet
+    join reads the corpus table (J4: join after top-k).
+
+    Returns the build metrics dict (also persisted in the manifests).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    fingerprint = {"source": source, "config": cfg.to_json(), "content": store_content}
+    metrics: dict = {}
+
+    # ---------------- Stage 1: scan + analyze + flat postings ------------
+    m1 = None if force else _load_manifest(out_dir, "stage1")
+    if m1 is not None and m1.get("fingerprint") == fingerprint:
+        metrics["stage1"] = m1
+    else:
+        t0 = time.time()
+        with_ids = assign_doc_ids(docs)
+        with_ids = with_ids.withColumn(
+            "content_sha256", F.sha2(F.col("content"), 256)
+        ).persist()
+
+        analyzed = with_ids.select("doc_id", "repo", "content").mapInPandas(
+            _analyze_partitions, schema=ANALYZED_SCHEMA
+        )
+        flat = analyzed.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+        )
+        flat_path = os.path.join(out_dir, "stage1_postings")
+        flat.write.mode("overwrite").partitionBy("bucket").parquet(flat_path)
+
+        # doc_stats: every doc, even empty ones (left join doclen, 0 fill)
+        flat_back = spark.read.parquet(flat_path)
+        doclens = flat_back.groupBy("doc_id").agg(F.first("dl").alias("doclen"))
+        stat_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha256"]
+        if store_content:
+            stat_cols.append("content")
+        doc_stats = (
+            with_ids.select(*stat_cols)
+            .join(doclens, "doc_id", "left")
+            .withColumn("doclen", F.coalesce("doclen", F.lit(0)).cast("int"))
+        )
+        doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+        with_ids.unpersist()
+
+        per_bucket = {
+            str(r["bucket"]): r["cnt"]
+            for r in flat_back.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        ds = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+        agg = ds.agg(
+            F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        m1 = {
+            "fingerprint": fingerprint,
+            "stage": "stage1",
+            "n_docs": agg["n"],
+            "avgdl": float(agg["avgdl"] or 0.0),
+            "postings_emitted": int(sum(per_bucket.values())),
+            "postings_per_bucket": per_bucket,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _write_manifest(out_dir, "stage1", m1)
+        metrics["stage1"] = m1
+
+    # ---------------- Stage 2: shuffle + block encode --------------------
+    m2 = None if force else _load_manifest(out_dir, "stage2")
+    if m2 is not None and m2.get("fingerprint") == fingerprint:
+        metrics["stage2"] = m2
+    else:
+        t0 = time.time()
+        flat_back = spark.read.parquet(os.path.join(out_dir, "stage1_postings"))
+        salted = flat_back.select("term", "doc_id", "tf", "dl", "bucket").withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int")
+        )
+        block_size = cfg.block_size
+
+        def _encode(pdf):
+            return encode_run_pdf(pdf, block_size)
+
+        runs = salted.groupBy("bucket", "term", "salt").applyInPandas(
+            _encode, schema=POSTING_RUN_SCHEMA
+        )
+        runs_path = os.path.join(out_dir, "postings")
+        runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
+
+        runs_back = spark.read.parquet(runs_path)
+        term_stats = runs_back.groupBy("term").agg(
+            F.sum("df_run").alias("df"),
+            F.sum("cf_run").alias("cf"),
+            F.first("bucket").alias("bucket"),
+        )
+        term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+
+        # per-(term, repo) document frequency — the reference's per-site
+        # lemma.frequency semantics (LemmaRepository.java:25-30)
+        trs = flat_back.groupBy("term", "repo").agg(F.count("*").alias("df"))
+        trs.write.mode("overwrite").parquet(os.path.join(out_dir, "term_repo_stats"))
+
+        lineage = runs_back.groupBy("bucket").agg(
+            F.count("*").alias("runs"),
+            F.sum("n_blocks").alias("blocks_merged"),
+            F.sum(
+                F.octet_length("doc_bytes")
+                + F.octet_length("tf_bytes")
+                + F.octet_length("dl_bytes")
+            ).alias("bytes_compressed"),
+            F.sum("df_run").alias("postings"),
+        ).collect()
+        m2 = {
+            "fingerprint": fingerprint,
+            "stage": "stage2",
+            "n_terms": term_stats.count(),
+            "runs_encoded": int(sum(r["runs"] for r in lineage)),
+            "blocks_merged": int(sum(r["blocks_merged"] for r in lineage)),
+            "bytes_compressed": int(sum(r["bytes_compressed"] for r in lineage)),
+            "per_bucket": {
+                str(r["bucket"]): {
+                    "runs": r["runs"],
+                    "blocks_merged": int(r["blocks_merged"]),
+                    "bytes_compressed": int(r["bytes_compressed"]),
+                    "postings": int(r["postings"]),
+                }
+                for r in lineage
+            },
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _write_manifest(out_dir, "stage2", m2)
+        metrics["stage2"] = m2
+
+    # ---------------- meta (completion marker) ---------------------------
+    meta = {
+        "n_docs": metrics["stage1"]["n_docs"],
+        "avgdl": metrics["stage1"]["avgdl"],
+        "n_terms": metrics["stage2"]["n_terms"],
+        "config": json.loads(cfg.to_json()),
+        "source": source,
+        "format": "searchengine_spark/v1",
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    metrics["meta"] = meta
+    return metrics

@@ -1,0 +1,378 @@
+"""Query engine — the read path (reference ``GET /api/search``,
+``controllers/ApiController.java:51-54`` ->
+``services/SearchServiceImpl.java``).
+
+Three scoring paths over the same index, all returning identical
+results (tests assert this):
+
+- ``engine="flat"`` — the M1 DataFrame spine: Catalyst-only plan over
+  the flat postings parquet (bucket partition pruning + term pushdown,
+  broadcast term stats, groupBy/sum, orderBy/limit).  The
+  oracle-comparable path.
+- ``engine="wand"`` — the M3 path: encoded posting runs, per-salt
+  ``applyInPandas`` vectorized scorer with block-max pruning, per-salt
+  top-k merged by a final tiny sort.  The scale path: work is
+  distributed over doc-salt subspaces, only the query terms' runs are
+  read (partition pruning on bucket + parquet pushdown on term).
+- ``engine="local"`` — same WAND kernel, but reading the pruned
+  parquet row groups driver-side via pyarrow.dataset.  Skips Spark job
+  scheduling entirely: the p50-latency path for interactive queries
+  (SURVEY.md §7.2 "Latency"); identical code path for scoring.
+
+Semantics (``mode``):
+
+- ``"and"``  — reference parity: conjunctive intersection, Σtf absolute
+  relevance + max-normalized relative relevance
+  (SearchServiceImpl.java:116-161), BM25 also reported.
+- ``"or"``   — disjunctive BM25 top-k (block-max WAND).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.config import IndexConfig
+from searchengine_spark.functions.xxhash import bucket_of
+from searchengine_spark.operators.wand import score_salt_group
+from searchengine_spark.plans.planner import PlannedQuery, bm25_idf, plan_query
+from searchengine_spark.query.snippets import build_snippet
+from searchengine_spark.sources.corpus import load_corpus
+
+RESULT_SCHEMA = "doc_id long, bm25 double, tf_sum long"
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.cfg = IndexConfig(**self.meta["config"])
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"]) or 1.0
+        self._runs_path = os.path.join(index_dir, "postings")
+        self._flat_path = os.path.join(index_dir, "stage1_postings")
+        self._term_stats = spark.read.parquet(
+            os.path.join(index_dir, "term_stats")
+        )
+
+    # ------------------------------------------------------------------
+    # planning
+    # ------------------------------------------------------------------
+    def term_info(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
+        """{term: (df, cf, bucket)} via a pruned scan of term_stats.
+
+        The term dictionary point-lookup (J1) — the scan reads only the
+        ``term`` dictionary pages thanks to parquet predicate pushdown;
+        result is Q rows.
+        """
+        rows = (
+            self._term_stats.where(F.col("term").isin(terms))
+            .select("term", "df", "cf", "bucket")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["cf"]), int(r["bucket"])) for r in rows}
+
+    def plan(self, query: str) -> tuple[PlannedQuery, dict[str, tuple[int, int, int]]]:
+        from searchengine_spark.plans.planner import analyze_query
+
+        terms = analyze_query(query)
+        info3 = self.term_info(terms)
+        plan = plan_query(
+            query,
+            {t: (df, cf) for t, (df, cf, _) in info3.items()},
+            self.n_docs,
+            self.cfg.search_filter_pct,
+        )
+        return plan, info3
+
+    # ------------------------------------------------------------------
+    # scoring paths
+    # ------------------------------------------------------------------
+    def search_df(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        engine: str = "wand",
+        repo: str | None = None,
+    ) -> DataFrame:
+        """Top-k as a DataFrame (doc_id, bm25, tf_sum), deterministic
+        order (bm25 desc, doc_id asc)."""
+        plan, info3 = self.plan(query)
+        if plan.empty and mode == "and":
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not plan.ordered:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        if engine == "flat":
+            return self._search_flat(plan, k, mode, repo)
+        if engine == "local":
+            pdf = self._search_local(plan, info3, k, mode, repo)
+            return self.spark.createDataFrame(pdf, RESULT_SCHEMA)
+        return self._search_wand(plan, info3, k, mode, repo)
+
+    def _idf_map(self, plan: PlannedQuery) -> dict[str, float]:
+        return {t: bm25_idf(df, self.n_docs) for t, df, _ in plan.ordered}
+
+    def _search_flat(
+        self, plan: PlannedQuery, k: int, mode: str, repo: str | None
+    ) -> DataFrame:
+        """Catalyst-only scoring over flat postings (M1 spine).
+
+        Plan shape: pruned parquet scan (bucket dirs + term pushdown)
+        -> broadcast join with the Q-row idf relation -> hash aggregate
+        per doc -> top-k sort.  No Python in the loop.
+        """
+        spark = self.spark
+        terms = [t for t, _, _ in plan.ordered]
+        idfs = self._idf_map(plan)
+        buckets = sorted({self._bucket_of(t) for t in terms})
+        flat = spark.read.parquet(self._flat_path).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        if repo is not None:
+            flat = flat.where(F.col("repo") == repo)
+        idf_df = spark.createDataFrame(
+            [(t, float(idfs[t])) for t in terms], "term string, idf double"
+        )
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
+        scored = flat.join(F.broadcast(idf_df), "term").withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / self.avgdl)),
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("contrib").alias("bm25"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+            F.count("*").alias("n_terms"),
+        )
+        if mode == "and":
+            agg = agg.where(F.col("n_terms") == len(terms))
+        return (
+            agg.select("doc_id", "bm25", "tf_sum")
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _bucket_of(self, term: str) -> int:
+        return bucket_of(term, self.cfg.n_buckets)
+
+    def _runs_df(self, plan: PlannedQuery, repo: str | None) -> DataFrame:
+        terms = [t for t, _, _ in plan.ordered]
+        buckets = sorted({self._bucket_of(t) for t in terms})
+        runs = self.spark.read.parquet(self._runs_path).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        return runs
+
+    def _search_wand(
+        self,
+        plan: PlannedQuery,
+        info3: dict,
+        k: int,
+        mode: str,
+        repo: str | None,
+    ) -> DataFrame:
+        """Distributed per-salt scoring (see module docstring)."""
+        if repo is not None:
+            # repo scoping is a doc_id-range concern; v1 falls back to
+            # the flat path for scoped queries (rare in the query set)
+            return self._search_flat(plan, k, mode, repo)
+        idfs = self._idf_map(plan)
+        k1, b, avgdl = self.cfg.bm25_k1, self.cfg.bm25_b, self.avgdl
+        mode_and = mode == "and"
+        n_query_terms = len(plan.ordered)
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            term_rows: dict[str, list[dict]] = {}
+            for _, row in pdf.iterrows():
+                term_rows.setdefault(row["term"], []).append(row)
+            if mode_and and len(term_rows) < n_query_terms:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "bm25": pd.Series(dtype="float64"),
+                     "tf_sum": pd.Series(dtype="int64")}
+                )
+            docs, bm, tf = score_salt_group(
+                term_rows, idfs, k, mode_and, k1, b, avgdl
+            )
+            return pd.DataFrame(
+                {"doc_id": docs.astype("int64"), "bm25": bm, "tf_sum": tf}
+            )
+
+        per_salt = self._runs_df(plan, repo).groupBy("salt").applyInPandas(
+            score_group, schema=RESULT_SCHEMA
+        )
+        return per_salt.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+    def _search_local(
+        self,
+        plan: PlannedQuery,
+        info3: dict,
+        k: int,
+        mode: str,
+        repo: str | None,
+    ) -> pd.DataFrame:
+        """Driver-local scoring via pyarrow.dataset pruned reads."""
+        import pyarrow.dataset as pads
+
+        terms = [t for t, _, _ in plan.ordered]
+        buckets = sorted({info3[t][2] for t in terms if t in info3})
+        dataset = pads.dataset(self._runs_path, format="parquet", partitioning="hive")
+        filt = (pads.field("bucket").isin(buckets)) & (pads.field("term").isin(terms))
+        tbl = dataset.to_table(filter=filt)
+        pdf = tbl.to_pandas()
+        idfs = self._idf_map(plan)
+        k1, b, avgdl = self.cfg.bm25_k1, self.cfg.bm25_b, self.avgdl
+        mode_and = mode == "and"
+        outs = []
+        for _, grp in pdf.groupby("salt"):
+            term_rows: dict[str, list[dict]] = {}
+            for _, row in grp.iterrows():
+                term_rows.setdefault(row["term"], []).append(row)
+            if mode_and and len(term_rows) < len(terms):
+                continue
+            docs, bm, tf = score_salt_group(term_rows, idfs, k, mode_and, k1, b, avgdl)
+            outs.append(pd.DataFrame({"doc_id": docs.astype("int64"), "bm25": bm, "tf_sum": tf}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "bm25": pd.Series(dtype="float64"), "tf_sum": pd.Series(dtype="int64")})
+        allr = pd.concat(outs, ignore_index=True)
+        allr = allr.sort_values(["bm25", "doc_id"], ascending=[False, True], kind="mergesort")
+        return allr.head(k).reset_index(drop=True)
+
+    # ------------------------------------------------------------------
+    # public API mirroring the reference REST surface
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        offset: int = 0,
+        limit: int = 10,
+        repo: str | None = None,
+        mode: str = "and",
+        engine: str = "local",
+        with_snippets: bool = True,
+    ) -> dict:
+        """Reference ``SearchResponse`` shape
+        (``dto/search/SearchResponse.java:8-13``, ``SearchData.java:6-13``):
+        {result, count, data: [{site, siteName, uri, title, snippet,
+        relevance}]} with site->repo, uri->path.
+        """
+        if not query.strip():
+            return {"result": False, "error": "Empty search query"}
+        if offset < 0 or limit <= 0:
+            return {"result": False, "error": "offset must be >= 0 and limit > 0"}
+        plan, info3 = self.plan(query)
+        if mode == "and" and plan.empty:
+            return {"result": True, "count": 0, "data": []}
+        k = offset + limit
+        df = self.search_df(query, k=k, mode=mode, engine=engine, repo=repo)
+        rows = df.collect() if isinstance(df, DataFrame) else list(df.itertuples())
+        total = self.count_matches(query, mode=mode, repo=repo)
+        page = rows[offset: offset + limit]
+        if not page:
+            return {"result": True, "count": total, "data": []}
+
+        doc_ids = [int(r.doc_id if hasattr(r, "doc_id") else r["doc_id"]) for r in page]
+        scores = [float(r.bm25 if hasattr(r, "bm25") else r["bm25"]) for r in page]
+        tf_sums = [int(r.tf_sum if hasattr(r, "tf_sum") else r["tf_sum"]) for r in page]
+        max_tf = max(tf_sums) if tf_sums else 1
+        docs_meta = self._doc_meta(doc_ids)
+        qterms = {t for t, _, _ in plan.ordered}
+        data = []
+        for doc_id, score, tfs in zip(doc_ids, scores, tf_sums):
+            m = docs_meta.get(doc_id, {})
+            snippet = ""
+            if with_snippets and "content" in m:
+                snippet = build_snippet(m["content"], qterms)
+            data.append(
+                {
+                    "site": m.get("repo", ""),
+                    "siteName": m.get("repo", ""),
+                    "uri": m.get("path", ""),
+                    "title": m.get("path", "").rsplit("/", 1)[-1],
+                    "snippet": snippet,
+                    "relevance": tfs / max_tf if max_tf else 0.0,
+                    "bm25": score,
+                    "doc_id": doc_id,
+                }
+            )
+        return {"result": True, "count": total, "data": data}
+
+    def count_matches(self, query: str, mode: str = "and", repo: str | None = None) -> int:
+        """Total hit count pre-pagination (reference ``count``,
+        SearchServiceImpl.java:171,200)."""
+        plan, _ = self.plan(query)
+        if not plan.ordered or (mode == "and" and plan.empty):
+            return 0
+        terms = [t for t, _, _ in plan.ordered]
+        buckets = sorted({self._bucket_of(t) for t in terms})
+        flat = self.spark.read.parquet(self._flat_path).where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        if repo is not None:
+            flat = flat.where(F.col("repo") == repo)
+        per_doc = flat.groupBy("doc_id").agg(F.count("*").alias("n"))
+        if mode == "and":
+            per_doc = per_doc.where(F.col("n") == len(terms))
+        return per_doc.count()
+
+    def _doc_meta(self, doc_ids: list[int]) -> dict[int, dict]:
+        """Materialize doc metadata + content for k result rows only
+        (join AFTER top-k — J4, SearchServiceImpl.java:176)."""
+        ds = self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+        rows = ds.where(F.col("doc_id").isin(doc_ids)).collect()
+        out = {int(r["doc_id"]): r.asDict() for r in rows}
+        if out and "content" in next(iter(out.values())):
+            return out  # built with store_content=True
+        src = self.meta.get("source")
+        if src:
+            try:
+                corpus = load_corpus(self.spark, src)
+                keys = [f"{m['repo']}\x00{m['path']}" for m in out.values()]
+                key_col = F.concat_ws("\x00", "repo", "path")
+                crows = corpus.where(key_col.isin(keys)).select(
+                    "repo", "path", "content"
+                ).collect()
+                by_key = {(r["repo"], r["path"]): r["content"] for r in crows}
+                for m in out.values():
+                    m["content"] = by_key.get((m["repo"], m["path"]), "")
+            except Exception:
+                pass
+        return out
+
+    # ------------------------------------------------------------------
+    # statistics (reference GET /api/statistics,
+    # services/StatisticsServiceImpl.java:31-62)
+    # ------------------------------------------------------------------
+    def statistics(self) -> dict:
+        ds = self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+        trs = self.spark.read.parquet(os.path.join(self.index_dir, "term_repo_stats"))
+        pages = {r["repo"]: r["n"] for r in ds.groupBy("repo").agg(F.count("*").alias("n")).collect()}
+        lemmas = {
+            r["repo"]: r["n"]
+            for r in trs.groupBy("repo").agg(F.countDistinct("term").alias("n")).collect()
+        }
+        detailed = [
+            {"url": repo, "name": repo, "pages": int(pages.get(repo, 0)), "lemmas": int(lemmas.get(repo, 0))}
+            for repo in sorted(pages)
+        ]
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(pages),
+                    "pages": int(sum(pages.values())),
+                    "lemmas": int(self.meta["n_terms"]),
+                    "indexing": False,
+                },
+                "detailed": detailed,
+            },
+        }

@@ -1,0 +1,144 @@
+"""Corpus sources.
+
+The engine's input is a table of source-code files
+``(repo, path, commit, lang, content)`` (BASELINE.json input_hint) — the
+role the crawled ``page`` table plays in the reference
+(``model/Page.java:16-42``; ``site.url`` -> ``repo``, ``page.path`` ->
+``path``, ``page.content`` -> ``content``).
+
+Three sources:
+
+- :func:`load_corpus` — read a real table (parquet dir or Iceberg table
+  name).  Production path.
+- :func:`corpus_from_documents_table` — adapt the driver's generic
+  ``documents`` test table to corpus shape (source->repo etc.).
+- :func:`generate_corpus_rows` — deterministic synthetic corpus
+  (seed=42) per FIXTURES.md §1: Zipf head terms to exercise salting,
+  identifiers/digit-seqs to exercise the bypass rules, stop terms to
+  exercise the frequency filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+_LANGS = ["python", "java", "go", "js", "md"]
+_LANG_WEIGHTS = [0.35, 0.25, 0.15, 0.15, 0.10]
+
+# language keyword vocabularies: the Zipf *head* of the term distribution
+_KEYWORDS = {
+    "python": "def class import return self if else for while try except lambda yield with pass raise from print len range dict list str int".split(),
+    "java": "public private static void class interface extends implements return new final import package throws try catch int long string boolean".split(),
+    "go": "func package import type struct interface return defer go chan map range make new var const nil err error string int".split(),
+    "js": "function const let var return class export import async await new typeof undefined null promise console module require".split(),
+    "md": "readme install usage example license build test documentation api reference guide tutorial section note warning".split(),
+}
+# identifier vocab pieces (mid/tail of the distribution)
+_IDENT_HEADS = "get set parse build index search query token merge split encode decode fetch handle emit read write load store".split()
+_IDENT_TAILS = "manager service handler worker buffer config context result request response cache client server engine store table block batch".split()
+# terms present in > searchFilter% of docs (exercise df pruning)
+_STOP_TERMS = ["commonterm", "everywhere"]
+
+
+def _content_for(rng: random.Random, lang: str, n_tokens: int, doc_idx: int) -> str:
+    kw = _KEYWORDS[lang]
+    toks: list[str] = []
+    # stop terms in (almost) every doc
+    for st in _STOP_TERMS:
+        if rng.random() < 0.97:
+            toks.append(st)
+    while len(toks) < n_tokens:
+        r = rng.random()
+        if r < 0.45:  # Zipf-ish head: keyword, rank ~ 1/(i+1)^1.2
+            weights = [1.0 / (i + 1) ** 1.2 for i in range(len(kw))]
+            toks.append(rng.choices(kw, weights=weights)[0])
+        elif r < 0.75:  # camel/snake identifiers
+            h, t = rng.choice(_IDENT_HEADS), rng.choice(_IDENT_TAILS)
+            toks.append(h + "_" + t if rng.random() < 0.5 else h + t.capitalize())
+        elif r < 0.83:  # digit sequences (identifier bypass)
+            toks.append(str(rng.randint(10, 99999)))
+        elif r < 0.88:  # hyphenated case-ids (identifier bypass)
+            toks.append(f"{rng.randint(1,99)}-{rng.randint(100,999)}-{rng.choice('abcdef')}{rng.randint(10,99)}")
+        elif r < 0.93:  # punctuation/operators (stripped by tokenizer)
+            toks.append(rng.choice(["==", "->", "&&", "||", "+=", "{};", "()", "[]:"]))
+        else:  # rare tail terms
+            toks.append(f"sym{rng.randint(0, 5000):04d}")
+        if rng.random() < 0.12:
+            toks.append("\n")
+    return " ".join(toks)
+
+
+def generate_corpus_rows(
+    n_repos: int = 5, files_per_repo: int = 40, seed: int = 42
+) -> list[tuple[str, str, str, str, str]]:
+    """Deterministic synthetic corpus rows (pure Python, seeded).
+
+    Zipf-distributed file counts across repos (per-repo skew); unique
+    (repo, path); commit = sha1(repo/path) per FIXTURES.md.
+    """
+    rng = random.Random(seed)
+    rows: list[tuple[str, str, str, str, str]] = []
+    doc_idx = 0
+    for i in range(n_repos):
+        repo = f"repo-{i:03d}"
+        # Zipf-ish skew: repo 0 gets ~2x the mean file count, tail fewer
+        norm = sum(1.0 / (j + 1) ** 0.8 for j in range(n_repos)) / n_repos
+        n_files = max(3, int(files_per_repo * (1.0 / (i + 1) ** 0.8) / norm))
+        seen: set[str] = set()
+        for _ in range(n_files):
+            lang = rng.choices(_LANGS, weights=_LANG_WEIGHTS)[0]
+            ext = {"python": "py", "java": "java", "go": "go", "js": "js", "md": "md"}[lang]
+            while True:
+                pkg = rng.choice(["core", "util", "io", "api", "model", "query", "index"])
+                name = rng.choice(_IDENT_HEADS) + rng.choice(_IDENT_TAILS).capitalize() + str(rng.randint(0, 99))
+                path = f"src/{pkg}/{name}.{ext}"
+                if path not in seen:
+                    seen.add(path)
+                    break
+            commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+            content = _content_for(rng, lang, rng.randint(30, 220), doc_idx)
+            rows.append((repo, path, commit, lang, content))
+            doc_idx += 1
+    return rows
+
+
+def generate_corpus(
+    spark: SparkSession, n_repos: int = 5, files_per_repo: int = 40, seed: int = 42
+) -> DataFrame:
+    rows = generate_corpus_rows(n_repos, files_per_repo, seed)
+    return spark.createDataFrame(rows, schema=CORPUS_COLUMNS)
+
+
+def load_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Load the corpus table: Iceberg table name or parquet path.
+
+    Column pruning/pushdown happen downstream; this returns the raw
+    5-column relation (extra columns are dropped).
+    """
+    if "/" in source or source.endswith(".parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    return df.select(*CORPUS_COLUMNS)
+
+
+def corpus_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt /root/testdata's ``documents`` table to corpus shape.
+
+    documents(doc_id, text, lang, source, n_chars) -> (repo=source,
+    path=doc-<id>, commit=sha2(text), lang, content=text).  Used by the
+    driver-facing bench/entry so the engine exercises real files.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("path"),
+        F.sha2(F.col("text"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

