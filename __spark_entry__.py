@@ -1,38 +1,748 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full-analyzer BM25 top-k over the sf0.001
+``documents`` corpus via the engine's inline pipeline.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data-pipeline operators
+(dedup, ANN, text analysis), each with a DuckDB-runnable ANSI-SQL
+oracle unless stated rows-only.  All computed columns are aliased
+identically on both sides; float outputs are rounded to 6 (money sums
+go through exact DECIMAL then cast to DOUBLE) so value-hashes match.
+
+The documents-table queries use the SQL-parity tokenizer
+(``searchengine_spark.functions.text.simple_tokens``); the engine's
+full analyzer (identifier bypass, stop filter, lemmatizer) is exercised
+against the pure-Python oracle in tests/ (see SURVEY.md §5).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
+from searchengine_spark.functions.text import simple_tokens
+from searchengine_spark.operators import dedup as D
+from searchengine_spark.operators import similarity as SIM
+from searchengine_spark.operators import textstats as TS
+from searchengine_spark.plans.planner import bm25_idf
+from searchengine_spark.query.inline import inline_search_topk
+from searchengine_spark.sources.corpus import corpus_from_documents_table
+
+K1, B = 1.2, 0.75
+AND_TERMS = ["spark", "query"]          # conjunctive search fixture
+BM25_TERMS = ["spark", "dup"]           # disjunctive: one head, one rare
+PRUNE_PCT = 80                          # df-percentage filter fixture
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat (doc_id, term, tf) via the SQL-parity tokenizer."""
+    docs = _read(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(simple_tokens("text")).alias("term")
+    )
+    return occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+# SQL fragment shared by the oracle queries: exploded token stream
+_TOKS = (
+    "SELECT doc_id, source, unnest(string_split(trim(regexp_replace(lower(text),"
+    " '[^a-z0-9]+', ' ', 'g')), ' ')) AS term FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: real-analyzer inline BM25 top-10 on sf0.001."""
+    corpus = corpus_from_documents_table(spark, "/root/testdata/sf0.001")
+    return inline_search_topk(corpus, "spark query dup", k=10, mode="or")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tf_postings(spark, sf_dir):
+    """T2/T5/A1: tokenize + per-doc term frequency (lemma counts per
+    document, LemmaFinder.java:65-78 analog)."""
+    return _postings(spark, sf_dir)
+
+
+def q_term_stats(spark, sf_dir):
+    """S7/A2: term dictionary with document + collection frequency
+    (lemma table analog, LemmaRepository.java:25-30)."""
+    docs = _read(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(simple_tokens("text")).alias("term"))
+    return occ.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    """doclen = post-tokenizer token count per doc (BM25 |d|)."""
+    docs = _read(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(simple_tokens("text")).alias("term"))
+    return occ.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A5/A6/A7: per-source statistics (StatisticsServiceImpl analog)."""
+    docs = _read(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source", "doc_id", F.explode(simple_tokens("text")).alias("term")
+    )
+    return occ.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("total_tokens"),
+    )
+
+
+def q_search_and_tf(spark, sf_dir):
+    """J2/J3/A3/A4/O2: conjunctive Σtf search with max-normalized
+    relevance (the reference scoring, SearchServiceImpl.java:116-161)."""
+    ptf = _postings(spark, sf_dir).where(F.col("term").isin(AND_TERMS))
+    agg = ptf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("tf_sum"), F.count("*").alias("n")
+    )
+    matched = agg.where(F.col("n") == len(AND_TERMS)).select("doc_id", "tf_sum")
+    rel = matched.withColumn(
+        "rel", F.round(F.col("tf_sum") / F.max("tf_sum").over(W.partitionBy()), 6)
+    )
+    return rel.orderBy(F.desc("tf_sum"), F.asc("doc_id")).limit(10)
+
+
+def q_search_bm25(spark, sf_dir):
+    """Q6: disjunctive BM25 top-10 (engine scoring, SURVEY.md §2.9)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ptf = _postings(spark, sf_dir)
+    dl = ptf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qtf = ptf.where(F.col("term").isin(BM25_TERMS))
+    dfs = {
+        r["term"]: r["df"]
+        for r in qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
+    }
+    idf_df = spark.createDataFrame(
+        [(t, bm25_idf(int(dfs[t]), n_docs)) for t in dfs], "term string, idf double"
+    )
+    scored = (
+        qtf.join(F.broadcast(idf_df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_df_prune(spark, sf_dir):
+    """F7/O1 prep: high-df pruning with Java integer-division semantics
+    (SearchServiceImpl.java:108): keep terms with (100*df)//N <= 80."""
+    n_docs = _read(spark, sf_dir, "documents").count()
+    ts = q_term_stats(spark, sf_dir)
+    pct = F.floor(F.lit(100) * F.col("df") / F.lit(n_docs)).cast("long")
+    return (
+        ts.withColumn("pct", pct)
+        .where(F.col("pct") <= PRUNE_PCT)
+        .select("term", "df", "pct")
+    )
+
+
+def q_missing_terms(spark, sf_dir):
+    """J5/E3: anti-join guard — query terms absent from the dictionary
+    (all-terms-present bail-out, SearchServiceImpl.java:104-107)."""
+    qterms = spark.createDataFrame([("spark",), ("zzznope",)], "term string")
+    vocab = _read(spark, sf_dir, "documents").select(
+        F.explode(simple_tokens("text")).alias("term")
+    ).distinct()
+    return qterms.join(vocab, "term", "left_anti")
+
+
+def q_intersection(spark, sf_dir):
+    """E1/J3: posting intersection via semi-join (retainAll analog)."""
+    occ = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(simple_tokens("text")).alias("term")
+    )
+    has_dup = occ.where(F.col("term") == "dup").select("doc_id").distinct()
+    has_spark = occ.where(F.col("term") == "spark").select("doc_id").distinct()
+    return has_dup.join(has_spark, "doc_id", "left_semi")
+
+
+def q_union_distinct(spark, sf_dir):
+    """E2: set union with dedup (cross-site result accumulation analog)."""
+    docs = _read(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(simple_tokens("text")).alias("term"))
+    a = occ.where(F.col("term") == "dup").select("doc_id")
+    b = docs.where(F.col("source") == "src0").select("doc_id")
+    return a.union(b).distinct()
+
+
+def q_pagination(spark, sf_dir):
+    """O3: offset/limit pagination window (rows 11-20 of the ranking,
+    SearchServiceImpl.java:167-175)."""
+    ptf = _postings(spark, sf_dir).where(F.col("term") == "join")
+    w = W.partitionBy().orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = ptf.select("doc_id", "tf", F.row_number().over(w).alias("rn"))
+    return ranked.where((F.col("rn") >= 11) & (F.col("rn") <= 20))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: full-content hash groups (empty when corpus has no
+    exact dups — parity still checked)."""
+    return D.exact_duplicate_groups(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    """Fingerprint dedup: docs sharing a min-shingle-hash fingerprint."""
+    fp = TS.doc_fingerprints(_read(spark, sf_dir, "documents"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (8 hashes, 4 bands x 2)."""
+    return D.lsh_candidate_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, shingle_n=3, bands=4
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.2 (LSH verification stage)."""
+    return D.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.2
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only: xxhash64 is engine-specific)."""
+    return D.simhash64(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _read(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding", "label")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]], int(row["label"])
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    vec, _ = _query_vec(spark, sf_dir)
+    return SIM.cosine_topk(
+        _read(spark, sf_dir, "embeddings"), vec, k=10, exclude_id=0
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: search only the query's cluster (label) cell."""
+    vec, label = _query_vec(spark, sf_dir)
+    return SIM.ivf_topk(
+        _read(spark, sf_dir, "embeddings"), vec, label, k=10, exclude_id=0
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (rows-only: seeded planes live in
+    Python; approximate by design)."""
+    vec, _ = _query_vec(spark, sf_dir)
+    return SIM.lsh_topk(
+        _read(spark, sf_dir, "embeddings"), vec, k=10, n_planes=6, exclude_id=0
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace vs normalized vs distinct."""
+    out = TS.token_counts(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring heuristics (length/digit/stopword ratios)."""
+    out = TS.quality_scores(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "digit_ratio",
+        "stop_ratio",
+        "quality",
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Marker-word language-ID heuristic."""
+    return TS.language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    """Per-doc min-shingle-hash fingerprint."""
+    return TS.doc_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """A-family: grouped aggregation with exact DECIMAL money sums
+    (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_rev_by_nation(spark, sf_dir):
+    """J1/J4-family: multi-way join (lineitem⋈orders⋈customer⋈nation,
+    nation broadcast) + exact revenue rollup."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    rev = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """O2/O3-family: top-10 by exact revenue, deterministic tie-break."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return per_cust.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped batch op: tumbling 1h window aggregation over the
+    events stream table (Structured-Streaming-equivalent plan)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Stateful-streaming-shaped batch op: 30-min-gap sessionization per
+    user via lag window (applyInPandasWithState batch analog)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_running_revenue(spark, sf_dir):
+    """Window-function family: daily totals + running cumulative sum."""
+    orders = _read(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).alias("daily_dec")
+    )
+    w = W.partitionBy().orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        F.col("daily_dec").cast("double").alias("daily"),
+        F.sum("daily_dec").over(w).cast("double").alias("running"),
+    )
+
+
+def q_flagship_engine(spark, sf_dir):
+    """Full-analyzer inline BM25 (rows-only: the analyzer's identifier/
+    stop/lemma rules are pinned against the pytest oracle, not SQL)."""
+    corpus = corpus_from_documents_table(spark, sf_dir)
+    return inline_search_topk(corpus, "spark query dup", k=10, mode="or")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_tf_postings": q_tf_postings,
+        "q_term_stats": q_term_stats,
+        "q_doc_lengths": q_doc_lengths,
+        "q_corpus_stats": q_corpus_stats,
+        "q_search_and_tf": q_search_and_tf,
+        "q_search_bm25": q_search_bm25,
+        "q_df_prune": q_df_prune,
+        "q_missing_terms": q_missing_terms,
+        "q_intersection": q_intersection,
+        "q_union_distinct": q_union_distinct,
+        "q_pagination": q_pagination,
+        "q_dedup_exact": q_dedup_exact,
+        "q_fingerprint_dups": q_fingerprint_dups,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_simhash": q_simhash,
+        "q_ann_cosine": q_ann_cosine,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_token_counts": q_token_counts,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_fingerprints": q_fingerprints,
+        "q_tpch_pricing": q_tpch_pricing,
+        "q_rev_by_nation": q_rev_by_nation,
+        "q_top_customers": q_top_customers,
+        "q_events_hourly": q_events_hourly,
+        "q_sessionize": q_sessionize,
+        "q_running_revenue": q_running_revenue,
+        "q_flagship_engine": q_flagship_engine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect of ANSI SQL; views pre-registered)
+# ---------------------------------------------------------------------------
+
+_SHINGLES = (
+    "WITH ts AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),"
+    " '[^a-z0-9]+', ' ', 'g')), ' ') AS arr FROM documents),\n"
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS shingle\n"
+    "       FROM ts, unnest(range(1, greatest(len(arr) - 1, 1))) AS r(i)\n"
+    "       WHERE len(arr) >= 3)"
+)
+
+_MINHASH = (
+    _SHINGLES
+    + ",\nmh AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{s}' || ':' || shingle)) AS mh{s}" for s in range(8)
+    )
+    + " FROM sh GROUP BY doc_id)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = f"WITH toks AS ({_TOKS})"
+    return {
+        "q_tf_postings": f"""
+            {toks}
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        """,
+        "q_term_stats": f"""
+            {toks}
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM toks GROUP BY term
+        """,
+        "q_doc_lengths": f"""
+            {toks}
+            SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+        """,
+        "q_corpus_stats": f"""
+            {toks}
+            SELECT source, count(DISTINCT doc_id) AS n_docs,
+                   count(DISTINCT term) AS n_terms, count(*) AS total_tokens
+            FROM toks GROUP BY source
+        """,
+        "q_search_and_tf": f"""
+            {toks},
+            ptf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                    WHERE term IN ('spark', 'query') GROUP BY doc_id, term),
+            agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum, count(*) AS n
+                    FROM ptf GROUP BY doc_id),
+            m AS (SELECT doc_id, tf_sum,
+                         round(tf_sum / (max(tf_sum) OVER ()), 6) AS rel
+                  FROM agg WHERE n = 2)
+            SELECT doc_id, tf_sum, rel FROM m
+            ORDER BY tf_sum DESC, doc_id LIMIT 10
+        """,
+        "q_search_bm25": f"""
+            {toks},
+            ptf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ptf GROUP BY doc_id),
+            consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                              (SELECT avg(dl) FROM dl) AS avgdl),
+            dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM ptf
+                    WHERE term IN ('spark', 'dup') GROUP BY term),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+                       * p.tf * (1.2 + 1.0)
+                       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS contrib
+              FROM ptf p JOIN dfs f USING (term)
+                         JOIN dl d USING (doc_id)
+                         CROSS JOIN consts c
+              WHERE p.term IN ('spark', 'dup'))
+            SELECT doc_id, round(sum(contrib), 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 10
+        """,
+        "q_df_prune": f"""
+            {toks},
+            ts AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+            SELECT term, df, (100 * df) // (SELECT count(*) FROM documents) AS pct
+            FROM ts
+            WHERE (100 * df) // (SELECT count(*) FROM documents) <= {PRUNE_PCT}
+        """,
+        "q_missing_terms": f"""
+            {toks}
+            SELECT term FROM (VALUES ('spark'), ('zzznope')) AS q(term)
+            WHERE term NOT IN (SELECT DISTINCT term FROM toks)
+        """,
+        "q_intersection": f"""
+            {toks}
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'
+              AND doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
+        """,
+        "q_union_distinct": f"""
+            {toks}
+            SELECT doc_id FROM toks WHERE term = 'dup'
+            UNION
+            SELECT doc_id FROM documents WHERE source = 'src0'
+        """,
+        "q_pagination": f"""
+            {toks},
+            ptf AS (SELECT doc_id, count(*) AS tf FROM toks
+                    WHERE term = 'join' GROUP BY doc_id),
+            ranked AS (SELECT doc_id, tf,
+                              row_number() OVER (ORDER BY tf DESC, doc_id) AS rn
+                       FROM ptf)
+            SELECT doc_id, tf, rn FROM ranked WHERE rn BETWEEN 11 AND 20
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "q_fingerprint_dups": f"""
+            {_SHINGLES},
+            fp AS (SELECT d.doc_id,
+                          coalesce(m.f, md5(lower(d.text))) AS fingerprint
+                   FROM documents d
+                   LEFT JOIN (SELECT doc_id, min(md5(shingle)) AS f
+                              FROM sh GROUP BY doc_id) m USING (doc_id))
+            SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS min_doc_id
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "q_minhash_lsh": f"""
+            {_MINHASH},
+            banded AS (
+              SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM mh
+              UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mh
+              UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mh
+              UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mh)
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l JOIN banded r
+              ON l.band_id = r.band_id AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+        """,
+        "q_jaccard_pairs": f"""
+            {_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+                       FROM sh l JOIN sh r
+                         ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+                       GROUP BY l.doc_id, r.doc_id)
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+        """,
+        "q_ann_cosine": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "q_ann_ivf": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != 0 AND e.label = q.ql
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "q_token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS BIGINT) AS n_unique
+            FROM documents
+        """,
+        "q_quality": f"""
+            {toks},
+            agg AS (
+              SELECT doc_id, count(*) AS n,
+                     CAST(sum(length(term)) AS DOUBLE) AS total_len,
+                     count(*) FILTER (WHERE regexp_full_match(term, '[0-9]+')) AS n_digit,
+                     count(*) FILTER (WHERE term IN ({", ".join(repr(s) for s in TS.QUALITY_STOPWORDS)})) AS n_stop
+              FROM toks GROUP BY doc_id)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round(total_len / n, 6) AS avg_token_len,
+                   round(n_digit / CAST(n AS DOUBLE), 6) AS digit_ratio,
+                   round(n_stop / CAST(n AS DOUBLE), 6) AS stop_ratio,
+                   round(least(n / 100.0, 1.0)
+                         * (1.0 - n_digit / CAST(n AS DOUBLE))
+                         * (0.5 + 0.5 * least(n_stop / CAST(n AS DOUBLE) * 5.0, 1.0)), 6) AS quality
+            FROM agg
+        """,
+        "q_langid": f"""
+            {toks},
+            scores AS (
+              SELECT doc_id,
+                     count(*) FILTER (WHERE term IN ('der','die','das','und','nicht','ist')) AS s_de,
+                     count(*) FILTER (WHERE term IN ('el','la','los','que','de','y')) AS s_es,
+                     count(*) FILTER (WHERE term IN ('le','la','les','et','est','une')) AS s_fr,
+                     count(*) FILTER (WHERE term IN ('de','shi','bu','le','wo','zai')) AS s_zh
+              FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de AND s_zh > 0 THEN 'zh'
+                        WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                        WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                        WHEN s_de > 0 THEN 'de'
+                        ELSE 'en' END AS lang_pred
+            FROM documents d LEFT JOIN scores USING (doc_id)
+        """,
+        "q_fingerprints": f"""
+            {_SHINGLES}
+            SELECT d.doc_id, coalesce(m.f, md5(lower(d.text))) AS fingerprint
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, min(md5(shingle)) AS f FROM sh GROUP BY doc_id) m
+              USING (doc_id)
+        """,
+        "q_tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_rev_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "q_events_hourly": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_sessionize": """
+            WITH flagged AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "q_running_revenue": """
+            WITH daily AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_dec
+              FROM orders GROUP BY 1)
+            SELECT d, CAST(daily_dec AS DOUBLE) AS daily,
+                   CAST(sum(daily_dec) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+            FROM daily
+        """,
+    }
