@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Three phases, mirroring BASELINE.md's rebuild targets:
+
+1. **Index build** — full two-stage inverted-index build over the
+   ``documents`` corpus (adapted to the (repo, path, commit, lang,
+   content) input shape); reports ``build_files_per_sec``.
+2. **Query latency** — the reference-style query set against the built
+   index through the driver-local scoring path (the p50 path,
+   SURVEY.md §7.2); reports ``query_p50_ms`` / ``query_p99_ms``.
+3. **Headline relational/pipeline queries** — a representative subset
+   of ``__spark_entry__.queries()`` fully materialized via the noop
+   sink (forces execution, writes nothing); per-query seconds in
+   ``queries``.
+
+Scaling evidence (local[8] vs local[32]) is a separate harness —
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md`` — because a single
+process can hold only one SparkContext.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_tf_postings",
+    "q_term_stats",
+    "q_corpus_stats",
+    "q_search_and_tf",
+    "q_search_bm25",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_ann_cosine",
+    "q_token_counts",
+    "q_quality",
+    "q_tpch_pricing",
+    "q_rev_by_nation",
+    "q_events_hourly",
+]
+
+#: reference-style query mix over the documents corpus (FIXTURES.md §2):
+#: rare terms, head terms, 2-3-term conjunctions, digit/identifier-ish
+#: tokens, an empty-intersection pair, a dictionary miss.
+QUERY_SET = [
+    ("and", "spark query"),
+    ("and", "data index"),
+    ("and", "search engine text"),
+    ("and", "zzz-not-in-dictionary"),
+    ("or", "spark dup"),
+    ("or", "query language model"),
+    ("or", "token stream batch"),
+    ("and", "the of"),
+    ("or", "distributed shuffle"),
+    ("and", "spark"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from searchengine_spark import IndexConfig, get_spark
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.query.engine import SearchEngine
+    from searchengine_spark.sources.corpus import corpus_from_documents_table
+
+    import __spark_entry__ as entry
+
+    t_all = time.time()
+    spark = get_spark(app_name="bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    # ---- phase 1: index build throughput --------------------------------
+    idx_dir = f"/tmp/bench_index_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = corpus_from_documents_table(spark, sf_dir)
+    n_files = corpus.count()
+    t0 = time.time()
+    build_index(
+        spark,
+        corpus,
+        idx_dir,
+        IndexConfig(n_buckets=8, n_salts=4),
+        source="bench",
+        force=True,
+        store_content=False,
+    )
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    # ---- phase 2: query latency over the built index --------------------
+    eng = SearchEngine(spark, idx_dir)
+    lat_ms: list[float] = []
+    for mode, q in QUERY_SET:
+        t0 = time.time()
+        eng.search(q, limit=10, mode=mode, engine="local", with_snippets=False)
+        lat_ms.append((time.time() - t0) * 1000.0)
+    lat_ms.sort()
+    p50 = lat_ms[len(lat_ms) // 2]
+    p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
+    timings["query_set"] = round(sum(lat_ms) / 1000.0, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- phase 3: headline queries (noop sink = full materialization) ----
+    queries = entry.queries()
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "build_files": int(n_files),
+                "build_files_per_sec": round(n_files / build_sec, 2),
+                "query_p50_ms": round(p50, 1),
+                "query_p99_ms": round(p99, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
