@@ -25,6 +25,7 @@ from pyspark.sql.window import Window as W
 
 from searchengine_spark.functions.text import simple_tokens
 from searchengine_spark.operators import dedup as D
+from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import similarity as SIM
 from searchengine_spark.operators import textstats as TS
 from searchengine_spark.plans.planner import bm25_idf
@@ -275,6 +276,44 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs >= 0.35 (exact all-pairs at
+    test scale; block_planes>0 is the 100 TB bucketed path)."""
+    return SIM.cosine_neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: text bytes as opaque binary media ->
+    Arrow-batched feature extraction (rows-only: features are a
+    sha256-based deterministic fake — no codec libs in-container)."""
+    media = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "image").otherwise("audio").alias("media_type"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("n_chars").cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return MM.extract_features(media).select("doc_id", "media_type", "n_bytes")
+
+
+def q_frame_schedule(spark, sf_dir):
+    """Multimodal frame-sampling schedule: pure-Catalyst sequence+explode
+    over typed duration metadata (documents.n_chars plays duration_ms)."""
+    media = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.col("n_chars").cast("int").alias("duration_ms"),
+    )
+    return MM.sample_frames(media, every_ms=500).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Token counting: whitespace vs normalized vs distinct."""
     out = TS.token_counts(_read(spark, sf_dir, "documents"))
@@ -449,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine": q_ann_cosine,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
+        "q_embed_neardup": q_embed_neardup,
+        "q_media_features": q_media_features,
+        "q_frame_schedule": q_frame_schedule,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -636,6 +678,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e CROSS JOIN q
             WHERE e.vec_id != 0 AND e.label = q.ql
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "q_embed_neardup": """
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   round(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                          CAST(r.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                                  CAST(l.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]),
+                                                    CAST(r.embedding AS DOUBLE[])))), 6) AS cos
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE round(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                         CAST(r.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                                 CAST(l.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]),
+                                                   CAST(r.embedding AS DOUBLE[])))), 6) >= 0.35
+        """,
+        "q_frame_schedule": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f.ts) - 1 AS BIGINT) AS frame_idx,
+                   CAST(f.ts AS BIGINT) AS frame_ts_ms
+            FROM documents, unnest(range(0, greatest(CAST(n_chars AS BIGINT) - 1, 0) + 1, 500)) AS f(ts)
         """,
         "q_token_counts": """
             SELECT doc_id,

@@ -158,6 +158,156 @@ def decode_run(row, block_ids: np.ndarray | None = None):
     )
 
 
+def encode_sorted_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode MANY (term, salt) runs from one sorted frame — vectorized.
+
+    Input: rows sorted by (term, salt, doc_id), columns (term, salt,
+    doc_id, tf, dl, bucket).  Output: one POSTING_RUN row per (term,
+    salt) group.
+
+    This is the scale-path encoder: a source-code corpus has a huge
+    identifier/number vocabulary (millions of terms with tiny posting
+    lists), so per-group ``applyInPandas`` pays ~ms of pandas overhead
+    per run and dominates the build.  Here ALL groups of a partition are
+    delta+varint encoded in a handful of NumPy passes (blocks tile the
+    partition contiguously, so one global ``reduceat`` computes every
+    block's metadata); the only per-group Python is byte slicing.
+    """
+    n = len(pdf)
+    if n == 0:
+        return _empty_runs_frame()
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    doc = pdf["doc_id"].to_numpy(dtype=np.uint64)
+    tf = pdf["tf"].to_numpy(dtype=np.int64)
+    dl = pdf["dl"].to_numpy(dtype=np.int64)
+    bucket = pdf["bucket"].to_numpy()
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    gstarts = np.flatnonzero(change)
+    gends = np.append(gstarts[1:], n)
+    n_groups = gstarts.size
+    glens = gends - gstarts
+
+    # block starts tile the partition: group g owns blocks at
+    # gstarts[g] + k*block_size, k < ceil(len_g / bs) — consecutive
+    # blocks are contiguous ACROSS groups too, so reduceat is global
+    nblocks = (glens + block_size - 1) // block_size
+    total_blocks = int(nblocks.sum())
+    grp_of_block = np.repeat(np.arange(n_groups), nblocks)
+    block_cum = np.cumsum(nblocks) - nblocks  # first block index per group
+    k_within = np.arange(total_blocks) - block_cum[grp_of_block]
+    bstarts = gstarts[grp_of_block] + k_within * block_size
+    bends = np.minimum(bstarts + block_size, gends[grp_of_block])
+
+    deltas = np.empty_like(doc)
+    deltas[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+    deltas[bstarts] = doc[bstarts]  # restart at every block (and group)
+
+    block_first = doc[bstarts]
+    block_last = doc[bends - 1]
+    block_max_tf = np.maximum.reduceat(tf, bstarts).astype(np.int32)
+    block_min_dl = np.minimum.reduceat(dl, bstarts).astype(np.int32)
+
+    tf_u = tf.astype(np.uint64)
+    dl_u = dl.astype(np.uint64)
+    streams = []
+    for vals in (deltas, tf_u, dl_u):
+        lens = varint_byte_lengths(vals)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        buf = varint_encode(vals)
+        # per-block offsets relative to each group's byte start; each
+        # group's offsets array carries the trailing end offset too
+        base = np.repeat(cum[gstarts], nblocks)
+        boffs = cum[bstarts] - base
+        bend_offs = cum[bends] - base
+        streams.append((buf, cum, boffs, bend_offs))
+
+    cf_run = np.add.reduceat(tf, gstarts).astype(np.int64)
+    blk_bounds = np.cumsum(nblocks)[:-1]
+
+    def split_offsets(stream):
+        _, _, boffs, bend_offs = stream
+        parts = np.split(boffs, blk_bounds)
+        ends = bend_offs[np.cumsum(nblocks) - 1]
+        return [
+            np.append(p, e).astype(np.int64).tolist()
+            for p, e in zip(parts, ends)
+        ]
+
+    doc_offs_l = split_offsets(streams[0])
+    tf_offs_l = split_offsets(streams[1])
+    dl_offs_l = split_offsets(streams[2])
+    bf_l = np.split(block_first.astype(np.int64), blk_bounds)
+    bl_l = np.split(block_last.astype(np.int64), blk_bounds)
+    mt_l = np.split(block_max_tf, blk_bounds)
+    md_l = np.split(block_min_dl, blk_bounds)
+
+    def slice_bytes(stream):
+        buf, cum, _, _ = stream
+        return [
+            buf[int(cum[gs]): int(cum[ge])] for gs, ge in zip(gstarts, gends)
+        ]
+
+    return pd.DataFrame(
+        {
+            "term": terms[gstarts],
+            "salt": salts[gstarts].astype("int32"),
+            "df_run": glens.astype("int64"),
+            "cf_run": cf_run,
+            "n_blocks": nblocks.astype("int32"),
+            "block_len": np.full(n_groups, block_size, dtype="int32"),
+            "block_first": [a.tolist() for a in bf_l],
+            "block_last": [a.tolist() for a in bl_l],
+            "block_max_tf": [a.tolist() for a in mt_l],
+            "block_min_dl": [a.tolist() for a in md_l],
+            "doc_offsets": doc_offs_l,
+            "tf_offsets": tf_offs_l,
+            "dl_offsets": dl_offs_l,
+            "doc_bytes": slice_bytes(streams[0]),
+            "tf_bytes": slice_bytes(streams[1]),
+            "dl_bytes": slice_bytes(streams[2]),
+            "bucket": bucket[gstarts].astype("int32"),
+        }
+    )
+
+
+def _empty_runs_frame() -> pd.DataFrame:
+    cols = [f.strip().split(" ")[0] for f in POSTING_RUN_SCHEMA.split(",")]
+    return pd.DataFrame({c: [] for c in cols})
+
+
+def encode_partition(batches, block_size: int):
+    """mapInPandas kernel: sorted-partition stream -> POSTING_RUN rows.
+
+    Arrow hands the partition over as multiple batches; a (term, salt)
+    group can span batch boundaries, so rows from the last (possibly
+    incomplete) group of each batch are held back and prepended to the
+    next batch.  Input rows must be sorted by (term, salt, doc_id)
+    within the partition (the builder's sortWithinPartitions does it).
+    """
+    tail = None
+    for pdf in batches:
+        if tail is not None and len(tail):
+            pdf = pd.concat([tail, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        last_t, last_s = terms[-1], salts[-1]
+        cut = int(np.flatnonzero((terms != last_t) | (salts != last_s)).max() + 1) \
+            if ((terms != last_t) | (salts != last_s)).any() else 0
+        tail = pdf.iloc[cut:]
+        head = pdf.iloc[:cut]
+        if len(head):
+            yield encode_sorted_frame(head, block_size)
+    if tail is not None and len(tail):
+        yield encode_sorted_frame(tail, block_size)
+
+
 def encode_run_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """applyInPandas kernel: one (term, salt) group -> one encoded row.
 

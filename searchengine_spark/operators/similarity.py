@@ -89,6 +89,53 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) >= t.
+
+    The embedding leg of the dedup family (dedup.py covers text legs).
+    ``block_planes=0`` -> exact all-pairs (theta self-join on id_a <
+    id_b; quadratic — the oracle-comparable test-scale path).
+    ``block_planes>0`` -> candidate pairs must share a random-hyperplane
+    sign bucket first, so the join key is the bucket and the pair space
+    is Σ bucket² instead of n² — the 100 TB path (write the table
+    partitioned by bucket and the self-join is co-located, no shuffle).
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    # normalize ONCE per vector (narrow pass) so each pair costs a single
+    # dot product instead of three — the n² side must be as thin as possible
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vd, lambda x: x / F.sqrt(_dot(vd, vd))).alias("_v"),
+    )
+    if block_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, block_planes, seed)
+        v = v.withColumn("_bucket", lsh_bucket(F.col("_v"), planes))
+        join_cond = (F.col("l._bucket") == F.col("r._bucket")) & (
+            F.col("l._id") < F.col("r._id")
+        )
+    else:
+        join_cond = F.col("l._id") < F.col("r._id")
+    l, r = v.alias("l"), v.alias("r")
+    pairs = l.join(r, join_cond)
+    cos = _dot(F.col("l._v"), F.col("r._v"))
+    return (
+        pairs.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-ish gaussian hyperplanes (seeded)."""
     rng = random.Random(seed)

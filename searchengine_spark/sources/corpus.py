@@ -114,6 +114,102 @@ def generate_corpus(
     return spark.createDataFrame(rows, schema=CORPUS_COLUMNS)
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 over a uint64 numpy array (counter-based
+    hashing — every token of every doc gets an independent, partition-
+    layout-independent 64-bit value, so the generated corpus is
+    deterministic no matter how Spark splits the id range)."""
+    import numpy as np
+
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def generate_corpus_distributed(
+    spark: SparkSession,
+    n_files: int,
+    n_repos: int = 100,
+    avg_tokens: int = 120,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side deterministic corpus — the scale-path fixture.
+
+    ``generate_corpus`` builds rows on the driver (fine for pytest, a
+    bottleneck for bench corpora).  This one derives every token from a
+    counter-based hash of ``(seed, doc_id, position)`` via splitmix64,
+    fully vectorized inside ``mapInPandas`` — so a 10^6-file corpus is
+    generated in parallel and is bit-identical across partitionings,
+    cluster sizes, and reruns (the property the scaling bench needs:
+    identical input at local[8] and local[32]).
+
+    Token distribution mirrors FIXTURES.md §1: Zipf-ish head keywords,
+    identifiers, digit sequences, rare tail terms.
+    """
+    import numpy as np
+    import pandas as pd
+
+    all_kw = sorted({w for kws in _KEYWORDS.values() for w in kws})
+    idents = sorted(
+        {h + "_" + t for h in _IDENT_HEADS for t in _IDENT_TAILS}
+        | {h + t.capitalize() for h in _IDENT_HEADS for t in _IDENT_TAILS}
+    )
+    vocab = np.array(
+        all_kw + idents + [f"sym{i:04d}" for i in range(5000)], dtype=object
+    )
+    n_kw, n_id = len(all_kw), len(idents)
+    v_total = len(vocab)
+    seed64 = np.uint64(seed * 0x5DEECE66D)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            # per-doc token count in [avg/2, 3*avg/2), from the doc hash
+            h_doc = _splitmix64(ids ^ seed64)
+            n_tok = (avg_tokens // 2 + (h_doc % np.uint64(avg_tokens))).astype(np.int64)
+            doc_idx = np.repeat(np.arange(ids.size), n_tok)
+            pos = np.arange(doc_idx.size, dtype=np.uint64)
+            starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+            pos -= np.repeat(starts.astype(np.uint64), n_tok)
+            h = _splitmix64((ids[doc_idx] * np.uint64(1_000_003)) ^ pos ^ seed64)
+            u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            kind = h % np.uint64(100)
+            # 45% Zipf-ish keyword head, 30% identifiers, 10% digit
+            # sequences, 15% rare tail syms
+            kw_i = (n_kw * u**3.0).astype(np.int64)
+            id_i = n_kw + (n_id * u).astype(np.int64)
+            sym_i = n_kw + n_id + (5000 * u).astype(np.int64)
+            tok_i = np.where(kind < 45, kw_i, np.where(kind < 75, id_i, sym_i))
+            toks = vocab[np.minimum(tok_i, v_total - 1)].copy()
+            digits = kind >= 75
+            digits &= kind < 85
+            if digits.any():
+                toks[digits] = (h[digits] % np.uint64(99999)).astype("U5")
+            out = pd.DataFrame({"i": doc_idx, "tok": toks})
+            content = out.groupby("i", sort=True)["tok"].agg(" ".join)
+            repo_ids = (ids % np.uint64(n_repos)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "repo": [f"repo-{r:04d}" for r in repo_ids],
+                    "path": [f"src/gen/f{int(i):010d}.py" for i in ids],
+                    "commit": [f"{int(x):016x}" * 2 for x in h_doc],
+                    "lang": "python",
+                    "content": content.to_numpy(),
+                }
+            )
+
+    rng = (
+        spark.range(n_files)
+        if num_partitions is None
+        else spark.range(0, n_files, 1, num_partitions)
+    )
+    return rng.mapInPandas(
+        gen, schema="repo string, path string, commit string, lang string, content string"
+    )
+
+
 def load_corpus(spark: SparkSession, source: str) -> DataFrame:
     """Load the corpus table: Iceberg table name or parquet path.
 

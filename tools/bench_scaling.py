@@ -13,14 +13,15 @@ process (``--child CORES``); the parent aggregates and writes
 
 The measured job is the full two-stage index build (scan -> Arrow
 analyze UDF -> bucket-partitioned flat postings -> salted sort-merge
-shuffle -> block encode).  The corpus is the sf documents table
-replicated ``--rep`` times executor-side (crossjoin with a literal
-range — deterministic, unique (repo, path) via the replica suffix), so
-the parallel compute dominates fixed Spark overhead.
+shuffle -> block encode).  The corpus is the deterministic synthetic
+code corpus (``generate_corpus_distributed`` — executor-side
+counter-based hashing, bit-identical at any parallelism), written to
+parquet once OUTSIDE the timed section and sized (``--files``) so the
+parallel compute dominates fixed Spark overhead.
 
 Usage::
 
-    python tools/bench_scaling.py [--rep 20] [--sf-dir /root/testdata/sf0.1]
+    python tools/bench_scaling.py [--files 200000]
 """
 
 from __future__ import annotations
@@ -37,28 +38,31 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_corpus(spark, sf_dir: str, rep: int):
-    """Replicated corpus: unique (repo, path) per replica, executor-side."""
-    from pyspark.sql import functions as F
+def make_corpus(spark, n_files: int) -> str:
+    """Write the deterministic bench corpus to parquet; returns its path.
 
-    from searchengine_spark.sources.corpus import corpus_from_documents_table
+    Generation (executor-side, counter-based hashing — bit-identical at
+    any parallelism) happens OUTSIDE the timed build, so the measurement
+    is scan -> analyze -> shuffle -> encode, like production.
+    """
+    from searchengine_spark.sources.corpus import generate_corpus_distributed
 
-    base = corpus_from_documents_table(spark, sf_dir)
-    reps = spark.range(rep).select(F.col("id").alias("rep"))
-    return (
-        base.crossJoin(reps)
-        .withColumn("path", F.concat_ws("-", "path", F.col("rep").cast("string")))
-        .drop("rep")
-    )
+    path = f"/tmp/scaling_corpus_{n_files}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_corpus_distributed(spark, n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
 
 
-def run_child(cores: int, sf_dir: str, rep: int) -> None:
+def run_child(cores: int, n_files: int) -> None:
     from searchengine_spark import IndexConfig, get_spark
     from searchengine_spark.index.builder import build_index
+    from searchengine_spark.sources.corpus import load_corpus
 
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
-    corpus = make_corpus(spark, sf_dir, rep)
-    n_files = corpus.count()
+    corpus = load_corpus(spark, make_corpus(spark, n_files))
+    n_files_actual = corpus.count()  # warms the scan (untimed)
     idx_dir = f"/tmp/scaling_index_{cores}_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
@@ -67,7 +71,7 @@ def run_child(cores: int, sf_dir: str, rep: int) -> None:
         corpus,
         idx_dir,
         IndexConfig(n_buckets=32, n_salts=8),
-        source=f"scaling-rep{rep}",
+        source=f"scaling-{n_files}",
         force=True,
         store_content=False,
     )
@@ -78,7 +82,7 @@ def run_child(cores: int, sf_dir: str, rep: int) -> None:
         + json.dumps(
             {
                 "cores": cores,
-                "n_files": n_files,
+                "n_files": n_files_actual,
                 "build_sec": round(build_sec, 2),
                 "files_per_sec": round(n_files / build_sec, 1),
                 "postings": metrics["stage1"]["postings_emitted"],
@@ -88,12 +92,12 @@ def run_child(cores: int, sf_dir: str, rep: int) -> None:
     )
 
 
-def run_parent(sf_dir: str, rep: int, out_md: str) -> None:
+def run_parent(n_files: int, out_md: str) -> None:
     results = {}
     for cores in (8, 32):
         proc = subprocess.run(
             [sys.executable, __file__, "--child", str(cores),
-             "--sf-dir", sf_dir, "--rep", str(rep)],
+             "--files", str(n_files)],
             capture_output=True, text=True, timeout=3000,
         )
         line = next(
@@ -121,7 +125,8 @@ cluster in this sandbox, per driver instruction): identical input,
 identical code, only the master URL differs.  Measured job = full
 two-stage index build (Arrow analyze UDF -> bucket-partitioned flat
 postings -> salted sort-merge shuffle -> varint block encode) over the
-sf0.1 `documents` corpus replicated x{rep} executor-side
+deterministic synthetic code corpus (executor-side counter-hash
+generation, bit-identical at any parallelism)
 ({results[8]["n_files"]} files, {results[8]["postings"]} postings,
 {results[8]["bytes_compressed"]} compressed index bytes).
 
@@ -133,7 +138,7 @@ sf0.1 `documents` corpus replicated x{rep} executor-side
 **Scaling efficiency** = (T_N / T_4N) / 4 = ({t8} / {t32}) / 4 =
 **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
-Reproduce: `python tools/bench_scaling.py --rep {rep}`.
+Reproduce: `python tools/bench_scaling.py --files {n_files}`.
 Per-round headline latencies are in `BENCH_r{{N}}.json` (from
 `bench.py`); the reference publishes no numbers to compare against
 (BASELINE.md).
@@ -145,14 +150,13 @@ Per-round headline latencies are in `BENCH_r{{N}}.json` (from
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--rep", type=int, default=20)
+    ap.add_argument("--files", type=int, default=200_000)
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent / "BENCH" / "BASELINE.md"))
     args = ap.parse_args()
     if args.child is not None:
-        run_child(args.child, args.sf_dir, args.rep)
+        run_child(args.child, args.files)
     else:
-        run_parent(args.sf_dir, args.rep, args.out)
+        run_parent(args.files, args.out)
 
 
 if __name__ == "__main__":
