@@ -49,18 +49,24 @@ ANALYZED_SCHEMA = "doc_id long, term string, tf int, dl int, repo string"
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Assign deterministic dense ``doc_id`` ordered by (repo, path, commit).
 
-    NOT ``monotonically_increasing_id`` (partitioning-dependent — would
-    break rank-identity and resume, SURVEY.md §7.0) and NOT a single
-    global window (driver bottleneck at 10^12 rows).  Two-level scheme:
+    NOT raw ``monotonically_increasing_id`` (partitioning-dependent —
+    would break rank-identity and resume, SURVEY.md §7.0) and NOT a
+    single global window (driver bottleneck at 10^12 rows).  Two-level
+    scheme, entirely JVM-side (no Python round-trip of ``content``):
 
     1. range-repartition + sort by the order columns;
-    2. count rows per range partition (tiny driver-side array);
-    3. ``mapInPandas`` adds ``offset[pid] + local_row_number``.
+    2. count rows per range partition (tiny driver-side array -> dense
+       global offset per partition);
+    3. ``doc_id = offset[pid] + partition-local ordinal``, where the
+       ordinal is the low 33 bits of ``monotonically_increasing_id()``
+       evaluated above the sort — mid is (pid << 33) + row-index in
+       partition evaluation order, which after sortWithinPartitions IS
+       the sorted order.
 
     Because range partitions are ordered and (repo, path, commit) is a
     total order, the resulting id equals the global rank regardless of
-    where the range boundaries fall — so the ids are reproducible across
-    cluster sizes and reruns.
+    where the sampled range boundaries fall — so the ids are
+    reproducible across cluster sizes and reruns (tests pin this).
     """
     spark = docs.sparkSession
     if num_partitions is None:
@@ -69,6 +75,10 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         docs.repartitionByRange(num_partitions, *[F.col(c) for c in DOC_ORDER])
         .sortWithinPartitions(*DOC_ORDER)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_ordinal",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
         .persist()
     )
     counts = {
@@ -81,25 +91,14 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
-    ) + ", doc_id long"
-
-    def add_ids(iterator):
-        seen = 0
-        pid = None
-        for pdf in iterator:
-            if len(pdf) == 0:
-                continue
-            if pid is None:
-                pid = int(pdf["_pid"].iloc[0])
-            base = offsets.get(pid, 0) + seen
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = range(base, base + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return arranged.mapInPandas(add_ids, schema=out_schema)
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    return (
+        arranged.join(F.broadcast(offsets_df), "_pid")
+        .withColumn("doc_id", F.col("_offset") + F.col("_ordinal"))
+        .drop("_pid", "_ordinal", "_offset")
+    )
 
 
 def _analyze_partitions(iterator):
@@ -184,6 +183,7 @@ def build_index(
         flat.repartition(cfg.n_buckets, "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(flat_path)
+        t_flat = time.time()
 
         # doc_stats: every doc, even empty ones (left join doclen, 0 fill)
         flat_back = spark.read.parquet(flat_path)
@@ -198,6 +198,7 @@ def build_index(
         )
         doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
         with_ids.unpersist()
+        t_ds = time.time()
 
         per_bucket = {
             str(r["bucket"]): r["cnt"]
@@ -215,6 +216,11 @@ def build_index(
             "postings_emitted": int(sum(per_bucket.values())),
             "postings_per_bucket": per_bucket,
             "wall_sec": round(time.time() - t0, 3),
+            "steps_sec": {
+                "analyze_flat_write": round(t_flat - t0, 3),
+                "doc_stats_write": round(t_ds - t_flat, 3),
+                "stats_collect": round(time.time() - t_ds, 3),
+            },
         }
         _write_manifest(out_dir, "stage1", m1)
         metrics["stage1"] = m1
@@ -246,6 +252,7 @@ def build_index(
         )
         runs_path = os.path.join(out_dir, "postings")
         runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
+        t_enc = time.time()
 
         runs_back = spark.read.parquet(runs_path)
         term_stats = runs_back.groupBy("term").agg(
@@ -254,11 +261,13 @@ def build_index(
             F.first("bucket").alias("bucket"),
         )
         term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+        t_ts = time.time()
 
         # per-(term, repo) document frequency — the reference's per-site
         # lemma.frequency semantics (LemmaRepository.java:25-30)
         trs = flat_back.groupBy("term", "repo").agg(F.count("*").alias("df"))
         trs.write.mode("overwrite").parquet(os.path.join(out_dir, "term_repo_stats"))
+        t_trs = time.time()
 
         lineage = runs_back.groupBy("bucket").agg(
             F.count("*").alias("runs"),
@@ -287,6 +296,12 @@ def build_index(
                 for r in lineage
             },
             "wall_sec": round(time.time() - t0, 3),
+            "steps_sec": {
+                "encode_write": round(t_enc - t0, 3),
+                "term_stats_write": round(t_ts - t_enc, 3),
+                "term_repo_stats_write": round(t_trs - t_ts, 3),
+                "lineage_collects": round(time.time() - t_trs, 3),
+            },
         }
         _write_manifest(out_dir, "stage2", m2)
         metrics["stage2"] = m2

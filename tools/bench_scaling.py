@@ -104,6 +104,10 @@ def run_child(cores: int, n_files: int) -> None:
                 "bytes_compressed": metrics["stage2"]["bytes_compressed"],
                 "stage1_sec": metrics["stage1"]["wall_sec"],
                 "stage2_sec": metrics["stage2"]["wall_sec"],
+                "steps": {
+                    **metrics["stage1"].get("steps_sec", {}),
+                    **metrics["stage2"].get("steps_sec", {}),
+                },
             }
         )
     )
