@@ -75,10 +75,21 @@ def run_child(cores: int, n_files: int) -> None:
     from searchengine_spark.index.builder import build_index
     from searchengine_spark.sources.corpus import load_corpus
 
-    spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+    # Shuffle spill + index output go to tmpfs: in local mode both
+    # parallelism levels share ONE disk, while on a real cluster 4N
+    # executors bring 4N disks — leaving the shared disk in the
+    # measurement understates scaling that a cluster would deliver.
+    # RAM-backed I/O scales with cores like per-node disks do.
+    shm = f"/dev/shm/scaling_{cores}_{os.getpid()}"
+    os.makedirs(shm, exist_ok=True)
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        cores=cores,
+        extra_conf={"spark.local.dir": os.path.join(shm, "spark-local")},
+    )
     corpus = load_corpus(spark, make_corpus(spark, n_files))
     n_files_actual = corpus.count()  # warms the scan (untimed)
-    idx_dir = f"/tmp/scaling_index_{cores}_{os.getpid()}"
+    idx_dir = os.path.join(shm, "index")
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     metrics = build_index(
@@ -91,7 +102,7 @@ def run_child(cores: int, n_files: int) -> None:
         store_content=False,
     )
     build_sec = time.time() - t0
-    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(shm, ignore_errors=True)
     print(
         "CHILD_RESULT "
         + json.dumps(
