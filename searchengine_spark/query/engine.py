@@ -65,18 +65,34 @@ class SearchEngine:
     # planning
     # ------------------------------------------------------------------
     def term_info(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
-        """{term: (df, cf, bucket)} via a pruned scan of term_stats.
+        """{term: (df, cf, bucket)} — the term dictionary point-lookup (J1).
 
-        The term dictionary point-lookup (J1) — the scan reads only the
-        ``term`` dictionary pages thanks to parquet predicate pushdown;
-        result is Q rows.
+        Driver-side pyarrow pruned read (predicate pushdown skips row
+        groups whose term dictionary misses the query terms): Q terms
+        cost one filtered parquet read, no Spark job — the p50 path.
+        At 10^12 scale term_stats is still ~vocab-sized (millions of
+        rows), well within a pushdown-pruned driver read.
         """
-        rows = (
-            self._term_stats.where(F.col("term").isin(terms))
-            .select("term", "df", "cf", "bucket")
-            .collect()
+        import pyarrow.dataset as pads
+
+        if not terms:
+            return {}
+        ds = pads.dataset(
+            os.path.join(self.index_dir, "term_stats"), format="parquet"
         )
-        return {r["term"]: (int(r["df"]), int(r["cf"]), int(r["bucket"])) for r in rows}
+        tbl = ds.to_table(
+            filter=pads.field("term").isin(terms),
+            columns=["term", "df", "cf", "bucket"],
+        )
+        return {
+            t: (int(df), int(cf), int(b))
+            for t, df, cf, b in zip(
+                tbl["term"].to_pylist(),
+                tbl["df"].to_pylist(),
+                tbl["cf"].to_pylist(),
+                tbl["bucket"].to_pylist(),
+            )
+        }
 
     def plan(self, query: str) -> tuple[PlannedQuery, dict[str, tuple[int, int, int]]]:
         from searchengine_spark.plans.planner import analyze_query
@@ -275,7 +291,7 @@ class SearchEngine:
         k = offset + limit
         df = self.search_df(query, k=k, mode=mode, engine=engine, repo=repo)
         rows = df.collect() if isinstance(df, DataFrame) else list(df.itertuples())
-        total = self.count_matches(query, mode=mode, repo=repo)
+        total = self.count_matches(query, mode=mode, repo=repo, engine=engine)
         page = rows[offset: offset + limit]
         if not page:
             return {"result": True, "count": total, "data": []}
@@ -306,20 +322,48 @@ class SearchEngine:
             )
         return {"result": True, "count": total, "data": data}
 
-    def count_matches(self, query: str, mode: str = "and", repo: str | None = None) -> int:
+    def count_matches(
+        self,
+        query: str,
+        mode: str = "and",
+        repo: str | None = None,
+        engine: str = "local",
+    ) -> int:
         """Total hit count pre-pagination (reference ``count``,
-        SearchServiceImpl.java:171,200)."""
+        SearchServiceImpl.java:171,200).
+
+        ``engine="local"``: pyarrow pruned read of the flat postings
+        (bucket dirs + term pushdown), pandas distinct/AND count — no
+        Spark job.  Any other value: the distributed plan (for counts
+        over head terms at full corpus scale).
+        """
         plan, _ = self.plan(query)
         if not plan.ordered or (mode == "and" and plan.empty):
             return 0
         terms = [t for t, _, _ in plan.ordered]
         buckets = sorted({self._bucket_of(t) for t in terms})
+        if engine == "local":
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(
+                self._flat_path, format="parquet", partitioning="hive"
+            )
+            filt = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
+            if repo is not None:
+                filt = filt & (pads.field("repo") == repo)
+            pdf = ds.to_table(filter=filt, columns=["doc_id", "term"]).to_pandas()
+            if pdf.empty:
+                return 0
+            if mode == "and":
+                per_doc = pdf.groupby("doc_id")["term"].nunique()
+                return int((per_doc == len(terms)).sum())
+            return int(pdf["doc_id"].nunique())
         flat = self.spark.read.parquet(self._flat_path).where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
         if repo is not None:
             flat = flat.where(F.col("repo") == repo)
-        per_doc = flat.groupBy("doc_id").agg(F.count("*").alias("n"))
+        per_doc = flat.groupBy("doc_id").agg(F.countDistinct("term").alias("n"))
         if mode == "and":
             per_doc = per_doc.where(F.col("n") == len(terms))
         return per_doc.count()
