@@ -19,6 +19,20 @@ set and flushes once (``LemmaFinder.java:32,113-115``,
 ``IndexingServiceImpl.java:148-150``); here that accumulate-then-flush
 IS the stage-2 shuffle, with spill-to-disk for free.
 
+Fixed-overhead design (the part that must NOT grow with cluster size,
+for the N->4N scaling-efficiency bar):
+
+- doclen rides the analyze output as one sentinel row per doc
+  (``term=""`` routed to partition ``bucket=-1``), so ``doc_stats``
+  needs a partition-pruned read of n_docs tiny rows — NOT a groupBy
+  shuffle of the entire postings relation;
+- corpus n/avgdl are collected by an ``Observation`` attached to the
+  doc_stats write (zero extra jobs);
+- per-bucket posting counts and the term-dictionary cardinality come
+  from parquet footer metadata (driver-side, no job, no data read);
+- per-bucket lineage bytes aggregate the encoder-emitted ``n_bytes``
+  column — the compressed blobs themselves are never re-read.
+
 Each stage writes a checkpoint manifest with per-partition lineage
 metrics (postings emitted, runs/blocks encoded, bytes compressed);
 re-running ``build_index`` over the same (source, config) skips
@@ -31,7 +45,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from searchengine_spark.analyzer import term_frequencies
 from searchengine_spark.config import IndexConfig
@@ -45,9 +59,36 @@ DOC_ORDER = ["repo", "path", "commit"]
 
 ANALYZED_SCHEMA = "doc_id long, term string, tf int, dl int, repo string"
 
+#: hive partition that holds the per-doc sentinel rows (term="", tf=0,
+#: dl=doclen) emitted by the analyze kernel alongside real postings.
+#: Readers of real postings filter ``bucket >= 0`` (partition-pruned).
+DOC_ROW_BUCKET = -1
+
+
+def read_flat_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The flat postings relation ``(term, doc_id, tf, dl, repo, bucket)``
+    — real postings only (partition-prunes the ``bucket=-1`` doc-row
+    sentinels away).  Canonical read path for stage1_postings."""
+    return spark.read.parquet(os.path.join(index_dir, "stage1_postings")).where(
+        F.col("bucket") >= 0
+    )
+
 
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Assign deterministic dense ``doc_id`` ordered by (repo, path, commit).
+
+    See :func:`_assign_doc_ids`; this public wrapper leaves the interim
+    range-partitioned frame cached (callers that care about the cache
+    lifecycle — the builder — use the underscore variant).
+    """
+    out, _ = _assign_doc_ids(docs, num_partitions)
+    return out
+
+
+def _assign_doc_ids(
+    docs: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic dense doc ids; returns (result, cached_parent).
 
     NOT raw ``monotonically_increasing_id`` (partitioning-dependent —
     would break rank-identity and resume, SURVEY.md §7.0) and NOT a
@@ -67,6 +108,10 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     total order, the resulting id equals the global rank regardless of
     where the sampled range boundaries fall — so the ids are
     reproducible across cluster sizes and reruns (tests pin this).
+
+    The second return value is the persisted range-partitioned parent;
+    the caller MUST ``unpersist()`` it once the result has been
+    materialized (the builder does so after the flat-postings write).
     """
     spark = docs.sparkSession
     if num_partitions is None:
@@ -94,11 +139,12 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     offsets_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
-    return (
+    out = (
         arranged.join(F.broadcast(offsets_df), "_pid")
         .withColumn("doc_id", F.col("_offset") + F.col("_ordinal"))
         .drop("_pid", "_ordinal", "_offset")
     )
+    return out, arranged
 
 
 def _analyze_partitions(iterator):
@@ -106,17 +152,60 @@ def _analyze_partitions(iterator):
 
     Vectorized end-to-end (searchengine_spark.analyzer); doclen = Σtf is
     computed in-batch because each document is exactly one input row.
+    Besides real postings, emits ONE sentinel row per input doc
+    ``(doc_id, term="", tf=0, dl=doclen, repo)`` — the carrier that
+    gets doclen into doc_stats without a postings-wide shuffle (the
+    builder routes these to partition ``bucket=-1``).
     """
     import pandas as pd  # local import: runs on executors
 
     for pdf in iterator:
         tf = term_frequencies(pdf["doc_id"], pdf["content"])
-        if tf.empty:
-            continue
-        tf["dl"] = tf.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int32")
-        repo_map = pd.Series(pdf["repo"].values, index=pdf["doc_id"].values)
-        tf["repo"] = tf["doc_id"].map(repo_map)
-        yield tf[["doc_id", "term", "tf", "dl", "repo"]]
+        frames = []
+        if not tf.empty:
+            tf["dl"] = (
+                tf.groupby("doc_id", sort=False)["tf"].transform("sum").astype("int32")
+            )
+            repo_map = pd.Series(pdf["repo"].values, index=pdf["doc_id"].values)
+            tf["repo"] = tf["doc_id"].map(repo_map)
+            frames.append(tf[["doc_id", "term", "tf", "dl", "repo"]])
+            dl_per_doc = tf.groupby("doc_id", sort=False)["dl"].first()
+        else:
+            dl_per_doc = pd.Series(dtype="int64")
+        doc_rows = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "term": "",
+                "tf": 0,
+                "dl": pdf["doc_id"].map(dl_per_doc).fillna(0).astype("int32"),
+                "repo": pdf["repo"].values,
+            }
+        )
+        frames.append(doc_rows[["doc_id", "term", "tf", "dl", "repo"]])
+        yield frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+
+
+def _footer_rowcounts(path: str) -> dict[str, int]:
+    """{hive-partition-dirname: total rows} from parquet footers only.
+
+    Driver-side metadata walk — no Spark job, no data pages read.  At
+    production bucket counts (10^3-10^4 files) this is a millisecond
+    listing; the alternative (a count(*) job) re-scans the relation.
+    Files directly under ``path`` are keyed "".
+    """
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        part = os.path.relpath(root, path)
+        part = "" if part == "." else part
+        n = 0
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        if n:
+            counts[part] = counts.get(part, 0) + n
+    return counts
 
 
 def _manifest_path(out_dir: str, stage: str) -> str:
@@ -165,16 +254,17 @@ def build_index(
         metrics["stage1"] = m1
     else:
         t0 = time.time()
-        with_ids = assign_doc_ids(docs)
-        with_ids = with_ids.withColumn(
-            "content_sha256", F.sha2(F.col("content"), 256)
-        ).persist()
+        with_ids, arranged = _assign_doc_ids(docs)
+        with_ids = with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
         analyzed = with_ids.select("doc_id", "repo", "content").mapInPandas(
             _analyze_partitions, schema=ANALYZED_SCHEMA
         )
         flat = analyzed.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+            "bucket",
+            F.when(F.col("term") == "", F.lit(DOC_ROW_BUCKET))
+            .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
+            .cast("int"),
         )
         flat_path = os.path.join(out_dir, "stage1_postings")
         # repartition on the partition column first so each task writes
@@ -185,41 +275,48 @@ def build_index(
         ).partitionBy("bucket").parquet(flat_path)
         t_flat = time.time()
 
-        # doc_stats: every doc, even empty ones (left join doclen, 0 fill)
-        flat_back = spark.read.parquet(flat_path)
-        doclens = flat_back.groupBy("doc_id").agg(F.first("dl").alias("doclen"))
+        # doclen: partition-pruned read of the n_docs sentinel rows —
+        # replaces a groupBy shuffle over the whole postings relation
+        doclens = (
+            spark.read.parquet(flat_path)
+            .where(F.col("bucket") == DOC_ROW_BUCKET)
+            .select("doc_id", F.col("dl").alias("doclen"))
+        )
         stat_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha256"]
         if store_content:
             stat_cols.append("content")
+        obs = Observation("doc_stats")
         doc_stats = (
             with_ids.select(*stat_cols)
             .join(doclens, "doc_id", "left")
             .withColumn("doclen", F.coalesce("doclen", F.lit(0)).cast("int"))
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl"))
         )
         doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
-        with_ids.unpersist()
+        arranged.unpersist()
+        stats = obs.get  # filled by the write job — no extra job
+        n_docs = int(stats["n"] or 0)
+        avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
         t_ds = time.time()
 
+        # per-bucket posting counts from parquet footers (no job)
         per_bucket = {
-            str(r["bucket"]): r["cnt"]
-            for r in flat_back.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+            part.split("=", 1)[1]: n
+            for part, n in _footer_rowcounts(flat_path).items()
+            if part.startswith("bucket=") and part != f"bucket={DOC_ROW_BUCKET}"
         }
-        ds = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
-        agg = ds.agg(
-            F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
-        ).collect()[0]
         m1 = {
             "fingerprint": fingerprint,
             "stage": "stage1",
-            "n_docs": agg["n"],
-            "avgdl": float(agg["avgdl"] or 0.0),
+            "n_docs": n_docs,
+            "avgdl": avgdl,
             "postings_emitted": int(sum(per_bucket.values())),
             "postings_per_bucket": per_bucket,
             "wall_sec": round(time.time() - t0, 3),
             "steps_sec": {
                 "analyze_flat_write": round(t_flat - t0, 3),
                 "doc_stats_write": round(t_ds - t_flat, 3),
-                "stats_collect": round(time.time() - t_ds, 3),
+                "footer_stats": round(time.time() - t_ds, 3),
             },
         }
         _write_manifest(out_dir, "stage1", m1)
@@ -231,7 +328,7 @@ def build_index(
         metrics["stage2"] = m2
     else:
         t0 = time.time()
-        flat_back = spark.read.parquet(os.path.join(out_dir, "stage1_postings"))
+        flat_back = read_flat_postings(spark, out_dir)
         salted = flat_back.select("term", "doc_id", "tf", "dl", "bucket").withColumn(
             "salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int")
         )
@@ -254,6 +351,7 @@ def build_index(
         runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
         t_enc = time.time()
 
+        # term dictionary — narrow columns only (no blob re-read)
         runs_back = spark.read.parquet(runs_path)
         term_stats = runs_back.groupBy("term").agg(
             F.sum("df_run").alias("df"),
@@ -269,20 +367,19 @@ def build_index(
         trs.write.mode("overwrite").parquet(os.path.join(out_dir, "term_repo_stats"))
         t_trs = time.time()
 
+        # lineage: aggregates the encoder-emitted n_bytes column —
+        # narrow scan, the compressed streams are never re-read
         lineage = runs_back.groupBy("bucket").agg(
             F.count("*").alias("runs"),
             F.sum("n_blocks").alias("blocks_merged"),
-            F.sum(
-                F.octet_length("doc_bytes")
-                + F.octet_length("tf_bytes")
-                + F.octet_length("dl_bytes")
-            ).alias("bytes_compressed"),
+            F.sum("n_bytes").alias("bytes_compressed"),
             F.sum("df_run").alias("postings"),
         ).collect()
+        n_terms = sum(_footer_rowcounts(os.path.join(out_dir, "term_stats")).values())
         m2 = {
             "fingerprint": fingerprint,
             "stage": "stage2",
-            "n_terms": term_stats.count(),
+            "n_terms": int(n_terms),
             "runs_encoded": int(sum(r["runs"] for r in lineage)),
             "blocks_merged": int(sum(r["blocks_merged"] for r in lineage)),
             "bytes_compressed": int(sum(r["bytes_compressed"] for r in lineage)),

@@ -45,7 +45,7 @@ POSTING_RUN_SCHEMA = (
     "block_first array<long>, block_last array<long>, "
     "block_max_tf array<int>, block_min_dl array<int>, "
     "doc_offsets array<int>, tf_offsets array<int>, dl_offsets array<int>, "
-    "doc_bytes binary, tf_bytes binary, dl_bytes binary, bucket int"
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, n_bytes long, bucket int"
 )
 
 DOC_STATS_SCHEMA = (
@@ -91,6 +91,7 @@ def encode_blocks(
     return {
         "df_run": int(n),
         "cf_run": int(tfs.sum()),
+        "n_bytes": len(doc_bytes) + len(tf_bytes) + len(dl_bytes),
         "n_blocks": len(starts),
         "block_len": int(block_size),
         "block_first": block_first.tolist(),
@@ -252,6 +253,12 @@ def encode_sorted_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             buf[int(cum[gs]): int(cum[ge])] for gs, ge in zip(gstarts, gends)
         ]
 
+    # compressed bytes per run (all three streams) — materialized as a
+    # plain column so lineage/metrics never have to re-read the blobs
+    n_bytes_grp = sum(
+        (s[1][gends] - s[1][gstarts]).astype(np.int64) for s in streams
+    )
+
     return pd.DataFrame(
         {
             "term": terms[gstarts],
@@ -270,6 +277,7 @@ def encode_sorted_frame(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             "doc_bytes": slice_bytes(streams[0]),
             "tf_bytes": slice_bytes(streams[1]),
             "dl_bytes": slice_bytes(streams[2]),
+            "n_bytes": n_bytes_grp,
             "bucket": bucket[gstarts].astype("int32"),
         }
     )
@@ -284,28 +292,43 @@ def encode_partition(batches, block_size: int):
     """mapInPandas kernel: sorted-partition stream -> POSTING_RUN rows.
 
     Arrow hands the partition over as multiple batches; a (term, salt)
-    group can span batch boundaries, so rows from the last (possibly
-    incomplete) group of each batch are held back and prepended to the
-    next batch.  Input rows must be sorted by (term, salt, doc_id)
+    group can span batch boundaries, so rows of the (possibly
+    incomplete) last group of each batch are carried into the next
+    batch.  The carry is a LIST of frames concatenated only when the
+    group completes, so per-batch work is O(batch), not O(carry).
+
+    Memory bound (honest): peak = O(batch + largest single (term, salt)
+    run), because one run is one output row — its rows must coexist
+    before encoding.  That is exactly what ``n_salts`` is for: size S
+    so max-df/S postings (x ~24 bytes/row in pandas) fits an executor
+    (SCALE.md §4).  Input rows must be sorted by (term, salt, doc_id)
     within the partition (the builder's sortWithinPartitions does it).
     """
-    tail = None
+    cur: list[pd.DataFrame] = []  # frames of ONE in-progress group
+    cur_key: tuple | None = None
     for pdf in batches:
-        if tail is not None and len(tail):
-            pdf = pd.concat([tail, pdf], ignore_index=True)
         if len(pdf) == 0:
             continue
         terms = pdf["term"].to_numpy()
         salts = pdf["salt"].to_numpy()
-        last_t, last_s = terms[-1], salts[-1]
-        cut = int(np.flatnonzero((terms != last_t) | (salts != last_s)).max() + 1) \
-            if ((terms != last_t) | (salts != last_s)).any() else 0
-        tail = pdf.iloc[cut:]
-        head = pdf.iloc[:cut]
+        first_key = (terms[0], salts[0])
+        last_key = (terms[-1], salts[-1])
+        if cur and first_key != cur_key:
+            yield encode_sorted_frame(pd.concat(cur, ignore_index=True), block_size)
+            cur, cur_key = [], None
+        boundary = (terms != last_key[0]) | (salts != last_key[1])
+        cut = int(np.flatnonzero(boundary).max() + 1) if boundary.any() else 0
+        head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
         if len(head):
+            if cur:  # head's first group completes the carried group
+                head = pd.concat([*cur, head], ignore_index=True)
+                cur = []
             yield encode_sorted_frame(head, block_size)
-    if tail is not None and len(tail):
-        yield encode_sorted_frame(tail, block_size)
+        if len(tail):
+            cur.append(tail)
+            cur_key = last_key
+    if cur:
+        yield encode_sorted_frame(pd.concat(cur, ignore_index=True), block_size)
 
 
 def encode_run_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:

@@ -19,9 +19,12 @@ def corpus_postings(docs: DataFrame) -> DataFrame:
     """corpus (repo, path, commit, lang, content) -> flat postings
     (doc_id, term, tf, dl, repo) with deterministic doc ids."""
     with_ids = assign_doc_ids(docs)
-    return with_ids.select("doc_id", "repo", "content").mapInPandas(
+    analyzed = with_ids.select("doc_id", "repo", "content").mapInPandas(
         _analyze_partitions, schema=ANALYZED_SCHEMA
     )
+    # drop the per-doc doclen sentinel rows (term="") the kernel emits
+    # for the persisted-index path — this relation is real postings only
+    return analyzed.where(F.col("term") != "")
 
 
 def inline_search_topk(

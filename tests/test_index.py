@@ -16,7 +16,9 @@ from tests.conftest import CFG
 
 
 def _flat(spark, index_dir):
-    return spark.read.parquet(os.path.join(index_dir, "stage1_postings"))
+    from searchengine_spark.index.builder import read_flat_postings
+
+    return read_flat_postings(spark, index_dir)
 
 
 def test_doc_ids_are_global_rank(spark, corpus_rows, index_dir, oracle_index):
