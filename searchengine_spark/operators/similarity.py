@@ -95,6 +95,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_planes: int = 0,
+    block_bands: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) >= t.
@@ -102,29 +103,79 @@ def cosine_neardup_pairs(
     The embedding leg of the dedup family (dedup.py covers text legs).
     ``block_planes=0`` -> exact all-pairs (theta self-join on id_a <
     id_b; quadratic — the oracle-comparable test-scale path).
-    ``block_planes>0`` -> candidate pairs must share a random-hyperplane
-    sign bucket first, so the join key is the bucket and the pair space
-    is Σ bucket² instead of n² — the 100 TB path (write the table
-    partitioned by bucket and the self-join is co-located, no shuffle).
+    ``block_planes=P > 0`` with ``block_bands=B`` -> banded
+    random-hyperplane blocking: a candidate pair must share its P-bit
+    sign bucket in >= 1 of B independent bands, so the join key is
+    (band, bucket) and the pair space is B x Σ bucket² instead of n² —
+    the 100 TB path (write the table partitioned by (band, bucket) and
+    the self-join is co-located, no shuffle).  Candidate recall for a
+    pair at angle θ is 1 - (1 - p^P)^B with p = 1 - θ/π; near-dup
+    thresholds (t >= 0.9 => p >= 0.85) reach ~1.0 with e.g. P=2, B=8.
+    Low thresholds need P=1 and many bands — at that point blocking
+    stops being cheaper than all-pairs; use it for true near-dup
+    ranges.  Emitted pairs are always exact-verified (popcount analog:
+    the true cosine is computed on every candidate), so blocking can
+    only lose pairs, never invent them.
     """
     vd = F.col(vec_col).cast("array<double>")
     # normalize ONCE per vector (narrow pass) so each pair costs a single
-    # dot product instead of three — the n² side must be as thin as possible
-    v = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vd, lambda x: x / F.sqrt(_dot(vd, vd))).alias("_v"),
+    # dot product instead of three — the n² side must be as thin as
+    # possible.  The norm is materialized as its own column first: an
+    # aggregate inside the transform lambda would be re-evaluated per
+    # element (O(d²) per vector).
+    v = (
+        df.select(F.col(id_col).alias("_id"), vd.alias("_vd"))
+        .withColumn("_norm", F.sqrt(_dot(F.col("_vd"), F.col("_vd"))))
+        .select(
+            "_id",
+            F.transform(F.col("_vd"), lambda x: x / F.col("_norm")).alias("_v"),
+        )
     )
     if block_planes > 0:
         dim = len(df.select(vec_col).first()[0])
-        planes = random_hyperplanes(dim, block_planes, seed)
-        v = v.withColumn("_bucket", lsh_bucket(F.col("_v"), planes))
-        join_cond = (F.col("l._bucket") == F.col("r._bucket")) & (
-            F.col("l._id") < F.col("r._id")
+        banded = v.select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            lsh_bucket(
+                                F.col("_v"),
+                                random_hyperplanes(
+                                    dim, block_planes, seed + 1000 * band
+                                ),
+                            ).alias("bucket"),
+                        )
+                        for band in range(block_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("_id", "_v", "bb.band", "bb.bucket")
+        l, r = banded.alias("l"), banded.alias("r")
+        cos = _dot(F.col("l._v"), F.col("r._v"))
+        # score every candidate, filter, THEN distinct: the dedup
+        # shuffle carries 3 scalars of surviving pairs, not vector
+        # payloads of every candidate (a pair sharing several bands
+        # recomputes one d-length dot — cheaper than an array-distinct)
+        return (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.round(cos, 6).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+            .distinct()
         )
-    else:
-        join_cond = F.col("l._id") < F.col("r._id")
     l, r = v.alias("l"), v.alias("r")
-    pairs = l.join(r, join_cond)
+    pairs = l.join(r, F.col("l._id") < F.col("r._id"))
     cos = _dot(F.col("l._v"), F.col("r._v"))
     return (
         pairs.select(
@@ -153,27 +204,37 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def _query_bucket(query: list[float], planes: list[list[float]]) -> int:
+    """Driver-side sign-bucket of a constant query vector."""
+    b = 0
+    for i, plane in enumerate(planes):
+        if sum(a * x for a, x in zip(query, plane)) >= 0:
+            b |= 1 << i
+    return b
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact scoring restricted to the query's
-    sign-bucket.  Approximate (recall < 1); the scale path when no
-    precomputed cells exist — bucket assignment is one narrow pass,
-    and with the table written partitioned by bucket it becomes
-    partition pruning like IVF."""
+    """Banded-LSH ANN: exact scoring restricted to rows that share the
+    query's P-bit sign-bucket in >= 1 of B independent bands
+    (candidate recall per neighbor at angle θ: 1 - (1 - p^P)^B,
+    p = 1 - θ/π).  Approximate by design; the scale path when no
+    precomputed IVF cells exist — with the table written partitioned by
+    (band, bucket), each band's probe is partition pruning, and the
+    candidate set is a union of B pruned reads instead of a full scan."""
     dim = len(query)
-    planes = random_hyperplanes(dim, n_planes, seed)
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        dot = sum(a * b for a, b in zip(query, plane))
-        if dot >= 0:
-            qbucket |= 1 << i
-    bucketed = df.where(lsh_bucket(F.col(vec_col), planes) == qbucket)
-    return cosine_topk(bucketed, query, k, id_col, vec_col, exclude_id)
+    cond = None
+    for band in range(n_bands):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * band)
+        hit = lsh_bucket(F.col(vec_col), planes) == _query_bucket(query, planes)
+        cond = hit if cond is None else cond | hit
+    return cosine_topk(df.where(cond), query, k, id_col, vec_col, exclude_id)

@@ -1,0 +1,247 @@
+"""Property tests for the dedup / similarity operator families
+(VERDICT r1 items 2-3): SimHash banding recall, banded-LSH ANN recall,
+bucketed near-dup coverage, minhash numeric-prefix ordering parity.
+
+Brute-force oracles are computed in plain Python/NumPy over collected
+fixtures — small enough to be exact, independent of the Spark code
+under test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import dedup as D
+from searchengine_spark.operators import similarity as S
+
+EMB_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus_rows):
+    rows = [(i, content) for i, (_, _, _, _, content) in enumerate(corpus_rows)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet(EMB_PATH).cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_df):
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_U64 = (1 << 64) - 1
+
+
+def _ham(a: int, b: int) -> int:
+    # mask to u64: Spark longs arrive as signed Python ints and
+    # bin(-x) would miscount the two's-complement bits
+    return bin((a ^ b) & _U64).count("1")
+
+
+def _brute_hamming_pairs(sims: dict[int, int], max_h: int) -> set[tuple]:
+    return {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if _ham(sims[a], sims[b]) <= max_h
+    }
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash64_deterministic_and_bounded(docs_df, portable):
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs_df, portable=portable).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs_df, portable=portable).collect()}
+    assert a == b, "simhash must be deterministic"
+    assert len(a) == docs_df.count()
+    if portable:
+        assert all(0 <= v < (1 << D.SIMHASH_PORTABLE_BITS) for v in a.values())
+    # fingerprints should be well spread: no hash value collides across
+    # many distinct docs unless content is duplicated
+    from collections import Counter
+
+    top = Counter(a.values()).most_common(1)[0][1]
+    assert top <= 3
+
+
+def test_simhash_similar_docs_closer_than_random(spark):
+    base = "def compute_index(data, offset): return data[offset] + compute_hash(data)"
+    rows = [
+        (0, base),
+        (1, base + " # trailing comment tweak"),
+        (2, "totally unrelated prose about weather patterns and ocean currents over months"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+    assert _ham(sims[0], sims[1]) < _ham(sims[0], sims[2])
+
+
+@pytest.mark.parametrize("max_h,portable", [(1, False), (3, False), (7, False), (3, True), (0, False)])
+def test_simhash_banding_recall_is_total(docs_df, max_h, portable):
+    """Pigeonhole banding must find EVERY pair within max_hamming —
+    the r1 VERDICT bug (4x16 chunks vs max_hamming=8) would fail this."""
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash64(docs_df, portable=portable).collect()
+    }
+    want = _brute_hamming_pairs(sims, max_h)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_pairs(
+            docs_df, max_hamming=max_h, portable=portable
+        ).collect()
+    }
+    assert got == want
+
+
+def test_simhash_near_pairs_rejects_bad_max_hamming(docs_df):
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(docs_df, max_hamming=32)
+
+
+# ---------------------------------------------------------------------------
+# Banded-LSH ANN
+# ---------------------------------------------------------------------------
+
+def test_lsh_topk_subset_with_exact_scores(emb_df, emb_np):
+    """Every LSH hit must carry its true cosine and appear in the exact
+    ranking order (the approximation may only DROP candidates)."""
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    exact_cos = {int(i): float(np.dot(mat[ids == i][0], q)) for i in ids if i != 0}
+    got = S.lsh_topk(emb_df, list(q), k=10, n_planes=4, n_bands=2, exclude_id=0).collect()
+    cos_vals = [r["cos"] for r in got]
+    assert cos_vals == sorted(cos_vals, reverse=True)
+    for r in got:
+        assert r["cos"] == pytest.approx(exact_cos[r["vec_id"]], abs=1e-5)
+
+
+def test_lsh_topk_recall_with_enough_bands(emb_df):
+    """P=2, B=8 recovers the exact top-10 on this fixture (measured,
+    deterministic planes)."""
+    row = emb_df.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb_df, q, k=10, exclude_id=0).collect()]
+    got = [
+        r["vec_id"]
+        for r in S.lsh_topk(emb_df, q, k=10, n_planes=2, n_bands=8, exclude_id=0).collect()
+    ]
+    assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# Bucketed cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _exact_pairs(emb_np, threshold):
+    ids, mat = emb_np
+    sims = mat @ mat.T
+    out = set()
+    for i, j in zip(*np.where(np.triu(sims, 1) >= threshold)):
+        a, b = int(ids[i]), int(ids[j])
+        out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_cosine_neardup_bucketed_subset_of_exact(emb_df, emb_np):
+    want = _exact_pairs(emb_np, 0.35)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_neardup_pairs(
+            emb_df, threshold=0.35, block_planes=1, block_bands=4
+        ).collect()
+    }
+    assert got <= want  # blocking may drop pairs, never invent them
+
+
+def test_cosine_neardup_bucketed_full_recall_at_enough_bands(emb_df, emb_np):
+    """The q_embed_neardup configuration (P=1, B=16) has measured
+    recall 1.0 on the fixture — equal to exact all-pairs."""
+    want = _exact_pairs(emb_np, 0.35)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_neardup_pairs(
+            emb_df, threshold=0.35, block_planes=1, block_bands=16
+        ).collect()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_cosine_neardup_high_threshold_clusters(spark):
+    """The production configuration (high threshold, several planes):
+    synthetic clusters of true near-dups (cos >= 0.99) are all found
+    with P=4, B=4 — the regime where blocking IS sub-quadratic."""
+    rng = np.random.default_rng(7)
+    bases = rng.normal(size=(12, 32))
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(4):  # 4 near-copies per cluster
+            v = b + rng.normal(scale=0.02, size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mat = np.array([r[1] for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = {
+        (i, j)
+        for i, j in zip(*np.where(np.triu(sims, 1) >= 0.99))
+    }
+    assert len(want) >= 12 * 6  # every intra-cluster pair qualifies
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_neardup_pairs(
+            df, threshold=0.99, block_planes=4, block_bands=4
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MinHash numeric-prefix ordering parity
+# ---------------------------------------------------------------------------
+
+def test_md5_prefix_min_selects_same_argmin_as_hex_min():
+    """The engine mins conv(substr(md5,1,15),16,10) while the oracle
+    mins the 32-char hex string; fixed-width hex ordering == numeric
+    ordering, so both select the same argmin shingle."""
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        shingles = [
+            " ".join(str(rng.integers(0, 50)) for _ in range(3))
+            for _ in range(rng.integers(2, 30))
+        ]
+        hexes = [hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles]
+        by_string = min(range(len(hexes)), key=lambda i: hexes[i])
+        by_prefix = min(range(len(hexes)), key=lambda i: int(hexes[i][:15], 16))
+        assert by_string == by_prefix
+
+
+def test_minhash_signatures_are_numeric_prefix(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    sig = D.minhash_signatures(df, n_hashes=2, shingle_n=3).collect()[0]
+    shingles = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
+    for s_idx in range(2):
+        want = min(
+            int(hashlib.md5(f"{s_idx}:{s}".encode()).hexdigest()[:15], 16)
+            for s in shingles
+        )
+        assert sig[f"mh{s_idx}"] == want

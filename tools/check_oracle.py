@@ -1,23 +1,24 @@
-"""Replicates the driver's correctness gate locally: runs every
-``queries()`` entry on Spark and its ``oracle_sql()`` in DuckDB at the
-given sf dir, then compares row count, column names, and
-order-insensitive values (floats rounded in-query on both sides).
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Runs queries()[name] on Spark and oracle_sql()[name] on DuckDB over the
+same sf dir, compares row counts, column names, and sorted values
+(columns ordered by name, floats rounded) — the same comparison shape
+the driver uses for CORRECTNESS_r{N}.json.
+
+Usage::
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-import duckdb
-
-import __spark_entry__ as entry
-from searchengine_spark import get_spark
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -25,74 +26,76 @@ TABLES = [
 ]
 
 
-def normalize(rows, cols):
-    out = []
-    for row in rows:
-        vals = []
-        for c in cols:
-            v = row[c]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return out
+def _norm(df):
+    """pandas frame -> sorted list of tuples, columns sorted by name."""
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    rows = [tuple(r) for r in out.itertuples(index=False, name=None)]
+    return cols, sorted(rows, key=repr)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(cores=8)
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from searchengine_spark import get_spark
+
+    spark = get_spark(cores=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
-    qs, oracles = entry.queries(), entry.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
+    qs, osql = E.queries(), E.oracle_sql()
+    names = args.names or list(qs)
+    failures = 0
+    for name in names:
+        if name not in qs:
+            print(f"{name}: UNKNOWN query")
+            failures += 1
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            sp = qs[name](spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {e}")
+            failures += 1
             continue
-        if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+        t_spark = time.time() - t0
+        if name not in osql:
+            print(f"{name}: rows-only ({len(sp)} rows, {t_spark:.2f}s)")
             continue
         try:
-            ddf = con.sql(oracles[name]).df()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
+            ora = con.sql(osql[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {str(e)[:200]}")
+            failures += 1
             continue
-        dcols = list(ddf.columns)
-        if sorted(scols) != sorted(dcols):
-            failures.append(name)
-            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
-            continue
-        cols = sorted(scols)
-        s_norm = normalize([r.asDict() for r in srows], cols)
-        d_norm = normalize(ddf.to_dict("records"), cols)
-        if len(s_norm) != len(d_norm):
-            failures.append(name)
-            print(f"FAIL {name}: rowcount spark={len(s_norm)} duckdb={len(d_norm)}")
-            ss, ds = set(s_norm), set(d_norm)
-            print("  spark-only:", list(ss - ds)[:3])
-            print("  duck-only :", list(ds - ss)[:3])
-            continue
-        if s_norm != d_norm:
-            failures.append(name)
-            diffs = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
-            print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[:2]}")
-            continue
-        print(f"OK   {name}: {len(s_norm)} rows in {time.time()-t0:.1f}s")
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+        sc, sv = _norm(sp)
+        oc, ov = _norm(ora)
+        ok_cols = sc == oc
+        ok_rows = len(sv) == len(ov)
+        ok_vals = sv == ov
+        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name}: {status} spark={len(sv)} oracle={len(ov)} "
+            f"cols={'=' if ok_cols else f'{sc} vs {oc}'} "
+            f"vals={'=' if ok_vals else 'DIFFER'} ({t_spark:.2f}s)"
+        )
+        if not ok_vals and ok_cols and ok_rows:
+            diff = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
+            for a, b in diff:
+                print(f"    spark={a}\n    oracle={b}")
     sys.exit(1 if failures else 0)
 
 
