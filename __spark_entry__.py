@@ -309,8 +309,11 @@ def q_embed_neardup(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: text bytes as opaque binary media ->
-    Arrow-batched feature extraction (rows-only: features are a
-    sha256-based deterministic fake — no codec libs in-container)."""
+    Arrow-batched feature extraction.  The kernel emits n_bytes and a
+    payload sha256 computed from the exact bytes the decoder saw, which
+    the SQL oracle recomputes — a hash-matched end-to-end check of the
+    binary-column Arrow round-trip (the float feature vector itself is
+    covered by tests/test_multimodal.py)."""
     media = _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("lang") == "en", "image").otherwise("audio").alias("media_type"),
@@ -319,7 +322,9 @@ def q_media_features(spark, sf_dir):
         F.col("n_chars").cast("int").alias("duration_ms"),
         F.encode("text", "utf-8").alias("data"),
     )
-    return MM.extract_features(media).select("doc_id", "media_type", "n_bytes")
+    return MM.extract_features(media).select(
+        "doc_id", "media_type", "n_bytes", "payload_sha256"
+    )
 
 
 def q_frame_schedule(spark, sf_dir):
@@ -766,6 +771,13 @@ def oracle_sql() -> dict[str, str]:
                                                  CAST(l.embedding AS DOUBLE[])))
                            * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]),
                                                    CAST(r.embedding AS DOUBLE[])))), 6) >= 0.35
+        """,
+        "q_media_features": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 'image' ELSE 'audio' END AS media_type,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
         """,
         "q_frame_schedule": """
             SELECT doc_id,

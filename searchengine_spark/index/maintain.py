@@ -1,0 +1,440 @@
+"""Index maintenance: repo-scoped purge (S8) and single-doc re-index
+(S9) — the reference's ``PageProcessorService`` surface re-expressed
+as partition-level parquet rewrites.
+
+Reference semantics:
+
+- S8 ``delete_repo``  — ``PageProcessorService.java:57-64`` (cascade
+  deleteBySiteId over page/index/lemma via
+  ``Repositories/IndexRepository.java:19-21``).
+- S9 ``reindex_doc``  — ``PageProcessorService.java:34-46`` (fetch old
+  postings, decrement per-lemma df, delete, re-analyze, re-add;
+  ``POST /api/indexPage``).
+
+Identity model: doc ids are STABLE under maintenance — deleting a repo
+leaves id gaps and re-indexing a doc keeps its id (a brand-new (repo,
+path) gets max_id+1).  This mirrors the reference, whose DB
+autoincrement ids survive deletes; rank-identity of search results is
+preserved because relative id order never changes.  A from-scratch
+rebuild assigns dense rank ids instead, so equality tests against a
+fresh build compare by (repo, path) identity — except the pure-edit
+case (same doc set, changed content), where ids coincide and the
+comparison is exact (tests/test_maintain.py pins both).
+
+Scale shape:
+
+- ``delete_repo``: doc ids are contiguous per repo (builder rank
+  order), so the encoded-run rewrite is a NARROW ``mapInPandas`` pass
+  that forwards every run whose [block_first, block_last] range misses
+  the repo's id range untouched (metadata check, no decode) and
+  re-encodes only overlapping runs.  No shuffle.  The flat-postings
+  filter pass prunes on the ``repo`` column's row-group statistics.
+- ``reindex_doc``: the doc's old terms come from a driver-side pyarrow
+  read (row-group pruning on doc_id); only the buckets that old+new
+  terms hash into are rewritten and re-encoded — the rest of the index
+  is untouched (the "rebuild only the term-buckets a doc touches"
+  contract).
+
+Directory swaps are write-to-tmp + rename — single-filesystem atomic
+enough for this engine; a lakehouse deployment would commit the same
+file sets as an Iceberg/Delta snapshot instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.analyzer import term_frequencies
+from searchengine_spark.config import IndexConfig
+from searchengine_spark.functions.xxhash import bucket_of
+from searchengine_spark.index.builder import (
+    ANALYZED_SCHEMA,
+    DOC_ROW_BUCKET,
+    _footer_rowcounts,
+)
+from searchengine_spark.index.format import POSTING_RUN_SCHEMA, encode_blocks
+
+#: explicit read schemas so post-mutation reads work even when a
+#: mutation emptied a directory (schema inference needs >= 1 file)
+_FLAT_SCHEMA = ANALYZED_SCHEMA + ", bucket int"
+_RUNS_SCHEMA = POSTING_RUN_SCHEMA
+
+
+def _read_runs(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(_RUNS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    )
+
+
+def _read_flat(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(_FLAT_SCHEMA).parquet(
+        os.path.join(index_dir, "stage1_postings")
+    )
+
+
+def _load_meta(index_dir: str) -> tuple[dict, IndexConfig]:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return meta, IndexConfig(**meta["config"])
+
+
+def _swap_dir(tmp: str, live: str) -> None:
+    old = live + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _swap_subdirs(tmp_root: str, live_root: str, subdirs: list[str]) -> None:
+    """Replace only the named hive subdirs of live_root with tmp's."""
+    for d in subdirs:
+        src, dst = os.path.join(tmp_root, d), os.path.join(live_root, d)
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def _record_mutation(index_dir: str, payload: dict) -> None:
+    """Append a mutation record and invalidate stage manifests (a
+    mutated index no longer equals a fresh build of its ``source``, so
+    resume must not skip stages against it)."""
+    ck = os.path.join(index_dir, "_checkpoints")
+    os.makedirs(ck, exist_ok=True)
+    log = os.path.join(ck, "mutations.jsonl")
+    with open(log, "a") as f:
+        f.write(json.dumps(payload, sort_keys=True) + "\n")
+    for stage in ("stage1", "stage2"):
+        p = os.path.join(ck, f"{stage}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def _refresh_meta(spark: SparkSession, index_dir: str, meta: dict) -> dict:
+    """Recompute n_docs/avgdl/n_terms from the (tiny) sentinel and
+    term_stats relations after a mutation."""
+    doclens = (
+        _read_flat(spark, index_dir)
+        .where(F.col("bucket") == DOC_ROW_BUCKET)
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs = int(doclens["n"] or 0)
+    meta["n_docs"] = n_docs
+    meta["avgdl"] = float(doclens["s"] or 0) / n_docs if n_docs else 0.0
+    meta["n_terms"] = sum(
+        _footer_rowcounts(os.path.join(index_dir, "term_stats")).values()
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def _rewrite_stats(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: list[int] | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """Recompute term_stats / term_repo_stats.
+
+    ``buckets=None`` -> full recompute (delete_repo).  Otherwise only
+    the named buckets' terms are recomputed; other rows carry over —
+    the incremental analog of the reference's per-lemma frequency
+    decrement (``LemmaRepository.java:40-42``), done set-at-a-time.
+    """
+    runs = _read_runs(spark, index_dir)
+    flat = _read_flat(spark, index_dir).where(F.col("bucket") >= 0)
+    if buckets is not None:
+        runs = runs.where(F.col("bucket").isin(buckets))
+        flat = flat.where(F.col("bucket").isin(buckets))
+    new_ts = runs.groupBy("term").agg(
+        F.sum("df_run").alias("df"),
+        F.sum("cf_run").alias("cf"),
+        F.first("bucket").alias("bucket"),
+    )
+    new_trs = flat.groupBy("term", "repo").agg(F.count("*").alias("df"))
+
+    ts_path = os.path.join(index_dir, "term_stats")
+    trs_path = os.path.join(index_dir, "term_repo_stats")
+    if buckets is not None:
+        keep_ts = spark.read.parquet(ts_path).where(~F.col("bucket").isin(buckets))
+        new_ts = keep_ts.unionByName(new_ts)
+        keep_trs = spark.read.parquet(trs_path).where(
+            ~F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").isin(buckets)
+        )
+        new_trs = keep_trs.unionByName(new_trs)
+    for df, path in ((new_ts, ts_path), (new_trs, trs_path)):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.parquet(tmp)
+        _swap_dir(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# S8: repo-scoped purge
+# ---------------------------------------------------------------------------
+
+def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
+    """Delete every document of ``repo`` from the index in place.
+
+    Returns the mutation record.  See module docstring for the scale
+    shape (metadata-pruned run rewrite, no shuffle).
+    """
+    t0 = time.time()
+    meta, cfg = _load_meta(index_dir)
+    ds_path = os.path.join(index_dir, "doc_stats")
+    ds = spark.read.parquet(ds_path)
+    bounds = ds.where(F.col("repo") == repo).agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if not bounds["n"]:
+        return {"op": "delete_repo", "repo": repo, "deleted_docs": 0}
+    lo, hi, n = int(bounds["lo"]), int(bounds["hi"]), int(bounds["n"])
+    # builder rank order makes a repo's ids contiguous; the run rewrite
+    # relies on it to prune by [block_first, block_last] alone
+    assert hi - lo + 1 == n, "repo doc ids must be contiguous (builder rank order)"
+
+    # flat postings (incl. bucket=-1 doclen sentinels): filter pass
+    flat_path = os.path.join(index_dir, "stage1_postings")
+    tmp = flat_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(flat_path).where(F.col("repo") != repo).repartition(
+        cfg.n_buckets, "bucket"
+    ).write.partitionBy("bucket").parquet(tmp)
+    _swap_dir(tmp, flat_path)
+
+    # encoded runs: narrow keep-or-reencode pass, no shuffle
+    block = cfg.block_size
+
+    def rewrite_runs(batches):
+        from searchengine_spark.index.format import decode_run
+
+        for pdf in batches:
+            keep_mask = (pdf["block_last"].map(lambda a: a[-1]) < lo) | (
+                pdf["block_first"].map(lambda a: a[0]) > hi
+            )
+            out = [pdf[keep_mask]]
+            for _, row in pdf[~keep_mask].iterrows():
+                docs, tfs, dls = decode_run(row)
+                docs = docs.astype(np.int64)
+                m = (docs < lo) | (docs > hi)
+                if not m.any():
+                    continue
+                enc = encode_blocks(
+                    docs[m].astype(np.uint64), tfs[m].astype(np.int64),
+                    dls[m].astype(np.int64), block,
+                )
+                enc.update(term=row["term"], salt=row["salt"], bucket=row["bucket"])
+                out.append(pd.DataFrame([enc]))
+            res = pd.concat(out, ignore_index=True) if len(out) > 1 else out[0]
+            if len(res):
+                yield res[
+                    [f.strip().split(" ")[0] for f in POSTING_RUN_SCHEMA.split(",")]
+                ]
+
+    runs_path = os.path.join(index_dir, "postings")
+    tmp = runs_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(runs_path).mapInPandas(
+        rewrite_runs, schema=POSTING_RUN_SCHEMA
+    ).write.partitionBy("bucket").parquet(tmp)
+    _swap_dir(tmp, runs_path)
+
+    _rewrite_stats(spark, index_dir)
+
+    tmp = ds_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.where(F.col("repo") != repo).write.parquet(tmp)
+    _swap_dir(tmp, ds_path)
+
+    _refresh_meta(spark, index_dir, meta)
+    rec = {
+        "op": "delete_repo",
+        "repo": repo,
+        "deleted_docs": n,
+        "doc_id_range": [lo, hi],
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    _record_mutation(index_dir, rec)
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# S9: single-doc re-index
+# ---------------------------------------------------------------------------
+
+def _analyze_one(content: str, doc_id: int, repo: str) -> pd.DataFrame:
+    """Driver-side run of the SAME vectorized analyze kernel over one
+    doc: postings rows + the doclen sentinel (term='')."""
+    tf = term_frequencies(
+        pd.Series([doc_id], dtype="int64"), pd.Series([content])
+    )
+    dl = int(tf["tf"].sum()) if len(tf) else 0
+    tf["dl"] = np.int32(dl)
+    tf["repo"] = repo
+    sentinel = pd.DataFrame(
+        {"doc_id": [doc_id], "term": [""], "tf": [0], "dl": [dl], "repo": [repo]}
+    )
+    cols = ["doc_id", "term", "tf", "dl", "repo"]
+    return pd.concat([tf[cols] if len(tf) else tf.reindex(columns=cols), sentinel], ignore_index=True)
+
+
+def _old_terms(index_dir: str, doc_id: int) -> set[str]:
+    """The doc's current terms via a driver-side pyarrow pruned read
+    (row-group statistics on doc_id do the pruning; the reference's
+    analog is the indexed Index-table lookup by page id)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(
+        os.path.join(index_dir, "stage1_postings"), format="parquet",
+        partitioning="hive",
+    )
+    tbl = ds.to_table(
+        filter=(pads.field("doc_id") == doc_id) & (pads.field("bucket") >= 0),
+        columns=["term"],
+    )
+    return set(tbl["term"].to_pylist())
+
+
+def reindex_doc(
+    spark: SparkSession,
+    index_dir: str,
+    repo: str,
+    path: str,
+    content: str,
+    commit: str | None = None,
+    lang: str | None = None,
+) -> dict:
+    """Re-index one document in place (add it if new).
+
+    Only the term buckets the old+new terms hash into are rewritten
+    and re-encoded; everything else is untouched.
+    """
+    t0 = time.time()
+    meta, cfg = _load_meta(index_dir)
+    ds_path = os.path.join(index_dir, "doc_stats")
+    ds = spark.read.parquet(ds_path)
+    existing = ds.where((F.col("repo") == repo) & (F.col("path") == path)).collect()
+    if existing:
+        row = existing[0]
+        doc_id = int(row["doc_id"])
+        commit = commit if commit is not None else row["commit"]
+        lang = lang if lang is not None else row["lang"]
+        old_terms = _old_terms(index_dir, doc_id)
+        is_new = False
+    else:
+        doc_id = int(ds.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+        commit = commit or ""
+        lang = lang or ""
+        old_terms = set()
+        is_new = True
+
+    new_rows = _analyze_one(content, doc_id, repo)
+    new_terms = set(new_rows["term"]) - {""}
+    affected = sorted(
+        {bucket_of(t, cfg.n_buckets) for t in (old_terms | new_terms)}
+    )
+    touched_dirs = [f"bucket={b}" for b in affected] + [f"bucket={DOC_ROW_BUCKET}"]
+
+    # 1. flat postings: rewrite ONLY the affected bucket dirs (+ the
+    #    sentinel dir) — partition pruning on read, dir swap on write
+    flat_path = os.path.join(index_dir, "stage1_postings")
+    new_df = spark.createDataFrame(
+        new_rows, "doc_id long, term string, tf int, dl int, repo string"
+    ).withColumn(
+        "bucket",
+        F.when(F.col("term") == "", F.lit(DOC_ROW_BUCKET))
+        .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
+        .cast("int"),
+    )
+    keep = spark.read.parquet(flat_path).where(
+        F.col("bucket").isin(affected + [DOC_ROW_BUCKET])
+        & (F.col("doc_id") != doc_id)
+    )
+    tmp = flat_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    keep.unionByName(new_df).repartition(max(len(affected), 1), "bucket").write.partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    _swap_subdirs(tmp, flat_path, touched_dirs)
+
+    # 2. re-encode runs for the affected buckets only (stage-2 kernel
+    #    over a partition-pruned read)
+    from searchengine_spark.index.format import encode_partition
+
+    runs_path = os.path.join(index_dir, "postings")
+    if affected:
+        salted = (
+            spark.read.parquet(flat_path)
+            .where(F.col("bucket").isin(affected))
+            .select("term", "doc_id", "tf", "dl", "bucket")
+            .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int"))
+        )
+        block = cfg.block_size
+
+        def _encode(batches):
+            return encode_partition(batches, block)
+
+        tmp = runs_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            salted.repartition(len(affected), "bucket", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_encode, schema=POSTING_RUN_SCHEMA)
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+        _swap_subdirs(tmp, runs_path, [f"bucket={b}" for b in affected])
+
+    # 3. stats for affected buckets; 4. doc_stats row upsert
+    _rewrite_stats(spark, index_dir, buckets=affected, n_buckets=cfg.n_buckets)
+
+    store_content = "content" in ds.columns
+    dl = int(new_rows.loc[new_rows["term"] == "", "dl"].iloc[0])
+    import hashlib
+
+    new_stat = {
+        "doc_id": doc_id,
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+        "doclen": dl,
+    }
+    if store_content:
+        new_stat["content"] = content
+    # build with doc_stats' exact schema: plain createDataFrame would
+    # infer doclen as long and union-widen the stored int column
+    stat_df = spark.createDataFrame(
+        [tuple(new_stat[c] for c in ds.columns)], schema=ds.schema
+    )
+    tmp = ds_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.where(F.col("doc_id") != doc_id).unionByName(stat_df).write.parquet(tmp)
+    _swap_dir(tmp, ds_path)
+
+    _refresh_meta(spark, index_dir, meta)
+    rec = {
+        "op": "reindex_doc",
+        "repo": repo,
+        "path": path,
+        "doc_id": doc_id,
+        "new_doc": is_new,
+        "buckets_rewritten": affected,
+        "old_terms": len(old_terms),
+        "new_terms": len(new_terms),
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    _record_mutation(index_dir, rec)
+    return rec

@@ -33,7 +33,10 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 64
 
-FEATURES_SCHEMA = f"doc_id long, media_type string, n_bytes int, features array<float>"
+FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, payload_sha256 string, "
+    "features array<float>"
+)
 
 
 def fake_decoder(data: pd.Series) -> np.ndarray:
@@ -54,7 +57,10 @@ def fake_decoder(data: pd.Series) -> np.ndarray:
 def real_decoder(media_type: str) -> Callable[[pd.Series], np.ndarray]:
     """Return a real decoder for ``media_type``; raises if libs absent.
 
-    Import check happens on the driver so a missing codec fails fast.
+    Import check happens on the driver so a missing codec fails fast
+    (not mid-job on an executor).  With Pillow installed the image
+    branch returns a thumbnail-features decoder matching the
+    :func:`fake_decoder` signature and FEATURE_DIM.
     """
     if media_type == "image":
         try:
@@ -64,7 +70,23 @@ def real_decoder(media_type: str) -> Callable[[pd.Series], np.ndarray]:
                 "image decode requires Pillow (not installed in this "
                 "container); pass decoder=fake_decoder for plumbing tests"
             ) from exc
-    elif media_type in ("audio", "video"):
+
+        def _pil_decode(data: pd.Series) -> np.ndarray:
+            import io
+
+            from PIL import Image
+
+            side = int(FEATURE_DIM**0.5)  # 8x8 grayscale thumbnail
+            out = np.zeros((len(data), FEATURE_DIM), dtype=np.float32)
+            for i, buf in enumerate(data):
+                img = Image.open(io.BytesIO(bytes(buf))).convert("L")
+                img = img.resize((side, side))
+                v = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+                out[i] = v / (np.linalg.norm(v) or 1.0)
+            return out
+
+        return _pil_decode
+    if media_type in ("audio", "video"):
         raise NotImplementedError(
             f"{media_type} decode requires ffmpeg bindings (not installed)"
         )
@@ -91,11 +113,17 @@ def extract_features(
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo: lo + batch_rows]
                 feats = decoder(chunk["data"])
+                # payload_sha256 is hashed from the exact bytes the
+                # decoder saw — an end-to-end Arrow byte-fidelity check
+                # the SQL oracle can recompute (driver hash-match)
                 yield pd.DataFrame(
                     {
                         "doc_id": chunk["doc_id"].values,
                         "media_type": chunk["media_type"].values,
                         "n_bytes": chunk["data"].map(lambda b: len(b or b"")).astype("int32").values,
+                        "payload_sha256": chunk["data"].map(
+                            lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
+                        ).values,
                         "features": list(feats),
                     }
                 )

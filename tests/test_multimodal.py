@@ -47,13 +47,17 @@ class TestExtractFeatures:
         feats = extract_features(media)
         assert feats.schema.simpleString() == (
             "struct<doc_id:bigint,media_type:string,n_bytes:int,"
-            "features:array<float>>"
+            "payload_sha256:string,features:array<float>>"
         )
         rows = feats.collect()
         assert len(rows) == media.count()
+        import hashlib
+
+        payloads = {r["doc_id"]: bytes(r["data"]) for r in media.collect()}
         for r in rows:
             assert len(r["features"]) == FEATURE_DIM
             assert r["n_bytes"] > 0
+            assert r["payload_sha256"] == hashlib.sha256(payloads[r["doc_id"]]).hexdigest()
 
     def test_matches_local_decoder(self, spark, media):
         """Engine features == driver-side decode of the same bytes."""
