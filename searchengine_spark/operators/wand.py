@@ -47,21 +47,55 @@ def _block_ub(
 
 
 class TermRuns:
-    """All runs of one term within one salt group, lazily decodable."""
+    """All runs of one term within one salt group, lazily decodable.
 
-    def __init__(self, rows: list[dict], idf: float, k1: float, b: float, avgdl: float):
+    ``doc_range=(lo, hi)`` restricts every decode to that doc-id
+    subspace using block metadata first (skip whole blocks outside the
+    range) — the repo-scoped read path: a repo's doc ids are contiguous
+    (builder rank order), so scoping is a range restriction, not a
+    filter column.
+    """
+
+    def __init__(
+        self,
+        rows: list[dict],
+        idf: float,
+        k1: float,
+        b: float,
+        avgdl: float,
+        doc_range: tuple[int, int] | None = None,
+    ):
         self.rows = rows
         self.idf = idf
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.doc_range = doc_range
         self.df = sum(int(r["df_run"]) for r in rows)
         self._decoded: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
+    def block_overlap(self, r) -> np.ndarray:
+        """Per-block bool: does the block's [first, last] intersect the
+        doc_range?  All-true when unscoped."""
+        first = np.asarray(r["block_first"], dtype=np.uint64)
+        if self.doc_range is None:
+            return np.ones(first.shape, dtype=bool)
+        last = np.asarray(r["block_last"], dtype=np.uint64)
+        lo, hi = self.doc_range
+        return (last >= np.uint64(lo)) & (first <= np.uint64(hi))
+
+    def _range_filter(self, d, t, l):
+        if self.doc_range is None or d.size == 0:
+            return d, t, l
+        lo, hi = self.doc_range
+        m = (d >= np.uint64(lo)) & (d <= np.uint64(hi))
+        return d[m], t[m], l[m]
+
     def block_bounds(self) -> float:
-        """Max BM25 upper bound over all blocks of this term."""
+        """Max BM25 upper bound over all (in-range) blocks of this term."""
         ub = 0.0
         for r in self.rows:
-            mt = np.asarray(r["block_max_tf"], dtype=np.float64)
-            md = np.asarray(r["block_min_dl"], dtype=np.float64)
+            keep = self.block_overlap(r)
+            mt = np.asarray(r["block_max_tf"], dtype=np.float64)[keep]
+            md = np.asarray(r["block_min_dl"], dtype=np.float64)[keep]
             if mt.size:
                 ub = max(ub, float(_block_ub(mt, md, self.idf, self.k1, self.b, self.avgdl).max()))
         return ub
@@ -70,13 +104,20 @@ class TermRuns:
         if self._decoded is None:
             ds, ts, ls = [], [], []
             for r in self.rows:
-                d, t, l = decode_run(r)
+                if self.doc_range is None:
+                    d, t, l = decode_run(r)
+                else:  # decode only blocks overlapping the range
+                    ids = np.flatnonzero(self.block_overlap(r))
+                    if ids.size == 0:
+                        continue
+                    d, t, l = decode_run(r, ids)
                 ds.append(d)
                 ts.append(t)
                 ls.append(l)
             d = np.concatenate(ds) if ds else np.empty(0, dtype=np.uint64)
             t = np.concatenate(ts) if ts else np.empty(0, dtype=np.uint64)
             l = np.concatenate(ls) if ls else np.empty(0, dtype=np.uint64)
+            d, t, l = self._range_filter(d, t, l)
             order = np.argsort(d, kind="mergesort")  # runs may interleave doc ranges
             self._decoded = (d[order], t[order], l[order])
         return self._decoded
@@ -155,6 +196,7 @@ def score_salt_group(
     b: float,
     avgdl: float,
     prune: bool = True,
+    doc_range: tuple[int, int] | None = None,
 ):
     """Score one salt group.  Returns (doc_ids, bm25, tf_sum) top-k.
 
@@ -162,9 +204,12 @@ def score_salt_group(
     ``term_meta``: term -> idf.
     ``mode_and``: True = conjunctive (reference semantics, every term
     must match); False = disjunctive BM25 top-k with block-max pruning.
+    ``doc_range``: restrict scoring to a contiguous doc-id subspace
+    (repo scoping — the per-site loop of SearchServiceImpl.java:74-82).
     """
     terms = [
-        TermRuns(rows, term_meta[t], k1, b, avgdl) for t, rows in term_rows.items()
+        TermRuns(rows, term_meta[t], k1, b, avgdl, doc_range)
+        for t, rows in term_rows.items()
     ]
     terms.sort(key=lambda tr: tr.df)  # rarest first (SearchServiceImpl:112)
     if not terms:
@@ -254,8 +299,9 @@ def _score_or_pruned(terms: list["TermRuns"], k: int):
             mt = np.asarray(r["block_max_tf"], dtype=np.float64)
             md = np.asarray(r["block_min_dl"], dtype=np.float64)
             bub = _block_ub(mt, md, tr.idf, tr.k1, tr.b, tr.avgdl)
-            masks.append(bub + others_ub >= theta)
-        d, _, _ = tr.decode_selected(masks)
+            masks.append((bub + others_ub >= theta) & tr.block_overlap(r))
+        d, t, l = tr.decode_selected(masks)
+        d, _, _ = tr._range_filter(d, t, l)
         extra.append(d)
     if extra:
         cand = np.unique(np.concatenate(extra))

@@ -45,6 +45,12 @@ from searchengine_spark.sources.corpus import load_corpus
 
 RESULT_SCHEMA = "doc_id long, bm25 double, tf_sum long"
 
+#: count_matches(engine="local") materializes the query terms' flat
+#: postings driver-side; above this many rows it falls back to the
+#: distributed count (a head term at 10^12-doc scale must never be
+#: pulled onto the driver)
+LOCAL_COUNT_MAX_DF = 5_000_000
+
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -60,6 +66,7 @@ class SearchEngine:
         self._term_stats = spark.read.parquet(
             os.path.join(index_dir, "term_stats")
         )
+        self._repo_scope_cache: dict[str, tuple[int, float, int, int]] = {}
 
     # ------------------------------------------------------------------
     # planning
@@ -94,18 +101,84 @@ class SearchEngine:
             )
         }
 
-    def plan(self, query: str) -> tuple[PlannedQuery, dict[str, tuple[int, int, int]]]:
+    def repo_scope(self, repo: str) -> tuple[int, float, int, int]:
+        """(n_pages, avgdl, doc_id_lo, doc_id_hi) of one repo — driver
+        pyarrow pruned read of doc_stats, cached.  A repo's doc ids are
+        contiguous (builder rank order), so scoping the scorer is a
+        range restriction on the decoded runs."""
+        if repo not in self._repo_scope_cache:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(
+                os.path.join(self.index_dir, "doc_stats"), format="parquet"
+            )
+            tbl = ds.to_table(
+                filter=pads.field("repo") == repo, columns=["doc_id", "doclen"]
+            )
+            n = tbl.num_rows
+            if n == 0:
+                self._repo_scope_cache[repo] = (0, 0.0, 0, -1)
+            else:
+                self._repo_scope_cache[repo] = (
+                    n,
+                    float(pc.mean(tbl["doclen"]).as_py() or 0.0),
+                    int(pc.min(tbl["doc_id"]).as_py()),
+                    int(pc.max(tbl["doc_id"]).as_py()),
+                )
+        return self._repo_scope_cache[repo]
+
+    def term_repo_df(self, terms: list[str], repo: str) -> dict[str, int]:
+        """Per-(term, repo) document frequency — the reference's
+        per-site ``lemma.frequency`` lookup (LemmaRepository.java:25-30)
+        as a driver-side pruned read of term_repo_stats."""
+        import pyarrow.dataset as pads
+
+        if not terms:
+            return {}
+        ds = pads.dataset(
+            os.path.join(self.index_dir, "term_repo_stats"), format="parquet"
+        )
+        tbl = ds.to_table(
+            filter=pads.field("term").isin(terms) & (pads.field("repo") == repo),
+            columns=["term", "df"],
+        )
+        return dict(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
+
+    def plan(
+        self, query: str, repo: str | None = None
+    ) -> tuple[PlannedQuery, dict[str, tuple[int, int, int]], tuple[int, float]]:
+        """Plan a (possibly repo-scoped) query.
+
+        Returns (plan, global term info3 for bucket routing, scoring
+        scope = (N, avgdl)).  Scoped planning follows the reference's
+        per-site loop (SearchServiceImpl.java:74-114): the all-terms
+        guard, the ``100*df//N`` threshold, the rarest-first order, AND
+        the scoring statistics all use the repo's own df and page count
+        — a term present globally but absent in this repo short-circuits
+        the scoped AND query.
+        """
         from searchengine_spark.plans.planner import analyze_query
 
         terms = analyze_query(query)
         info3 = self.term_info(terms)
+        if repo is None:
+            plan = plan_query(
+                query,
+                {t: (df, cf) for t, (df, cf, _) in info3.items()},
+                self.n_docs,
+                self.cfg.search_filter_pct,
+            )
+            return plan, info3, (self.n_docs, self.avgdl)
+        n_repo, avgdl_repo, _, _ = self.repo_scope(repo)
+        rdf = self.term_repo_df(terms, repo)
         plan = plan_query(
             query,
-            {t: (df, cf) for t, (df, cf, _) in info3.items()},
-            self.n_docs,
+            {t: (df, 0) for t, df in rdf.items()},
+            n_repo,
             self.cfg.search_filter_pct,
         )
-        return plan, info3
+        return plan, info3, (n_repo, avgdl_repo or 1.0)
 
     # ------------------------------------------------------------------
     # scoring paths
@@ -120,23 +193,28 @@ class SearchEngine:
     ) -> DataFrame:
         """Top-k as a DataFrame (doc_id, bm25, tf_sum), deterministic
         order (bm25 desc, doc_id asc)."""
-        plan, info3 = self.plan(query)
+        plan, info3, scope = self.plan(query, repo)
         if plan.empty and mode == "and":
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         if not plan.ordered:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         if engine == "flat":
-            return self._search_flat(plan, k, mode, repo)
+            return self._search_flat(plan, k, mode, repo, scope)
         if engine == "local":
-            pdf = self._search_local(plan, info3, k, mode, repo)
+            pdf = self._search_local(plan, info3, k, mode, repo, scope)
             return self.spark.createDataFrame(pdf, RESULT_SCHEMA)
-        return self._search_wand(plan, info3, k, mode, repo)
+        return self._search_wand(plan, info3, k, mode, repo, scope)
 
-    def _idf_map(self, plan: PlannedQuery) -> dict[str, float]:
-        return {t: bm25_idf(df, self.n_docs) for t, df, _ in plan.ordered}
+    def _idf_map(self, plan: PlannedQuery, n_docs: int) -> dict[str, float]:
+        return {t: bm25_idf(df, n_docs) for t, df, _ in plan.ordered}
 
     def _search_flat(
-        self, plan: PlannedQuery, k: int, mode: str, repo: str | None
+        self,
+        plan: PlannedQuery,
+        k: int,
+        mode: str,
+        repo: str | None,
+        scope: tuple[int, float],
     ) -> DataFrame:
         """Catalyst-only scoring over flat postings (M1 spine).
 
@@ -145,8 +223,9 @@ class SearchEngine:
         per doc -> top-k sort.  No Python in the loop.
         """
         spark = self.spark
+        n_docs, avgdl = scope
         terms = [t for t, _, _ in plan.ordered]
-        idfs = self._idf_map(plan)
+        idfs = self._idf_map(plan, n_docs)
         buckets = sorted({self._bucket_of(t) for t in terms})
         flat = spark.read.parquet(self._flat_path).where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
@@ -162,7 +241,7 @@ class SearchEngine:
             F.col("idf")
             * F.col("tf")
             * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / self.avgdl)),
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
         )
         agg = scored.groupBy("doc_id").agg(
             F.sum("contrib").alias("bm25"),
@@ -188,6 +267,12 @@ class SearchEngine:
         )
         return runs
 
+    def _doc_range(self, repo: str | None) -> tuple[int, int] | None:
+        if repo is None:
+            return None
+        _, _, lo, hi = self.repo_scope(repo)
+        return (lo, hi)
+
     def _search_wand(
         self,
         plan: PlannedQuery,
@@ -195,20 +280,22 @@ class SearchEngine:
         k: int,
         mode: str,
         repo: str | None,
+        scope: tuple[int, float],
     ) -> DataFrame:
-        """Distributed per-salt scoring (see module docstring)."""
-        if repo is not None:
-            # repo scoping is a doc_id-range concern; v1 falls back to
-            # the flat path for scoped queries (rare in the query set)
-            return self._search_flat(plan, k, mode, repo)
-        idfs = self._idf_map(plan)
-        k1, b, avgdl = self.cfg.bm25_k1, self.cfg.bm25_b, self.avgdl
+        """Distributed per-salt scoring (see module docstring).  Repo
+        scoping stays on the compressed-index path: the scorer restricts
+        itself to the repo's contiguous doc-id range via block metadata
+        (TermRuns.doc_range) — no flat fallback."""
+        n_docs, avgdl = scope
+        idfs = self._idf_map(plan, n_docs)
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
         mode_and = mode == "and"
         n_query_terms = len(plan.ordered)
+        doc_range = self._doc_range(repo)
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             term_rows: dict[str, list[dict]] = {}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 term_rows.setdefault(row["term"], []).append(row)
             if mode_and and len(term_rows) < n_query_terms:
                 return pd.DataFrame(
@@ -217,7 +304,7 @@ class SearchEngine:
                      "tf_sum": pd.Series(dtype="int64")}
                 )
             docs, bm, tf = score_salt_group(
-                term_rows, idfs, k, mode_and, k1, b, avgdl
+                term_rows, idfs, k, mode_and, k1, b, avgdl, doc_range=doc_range
             )
             return pd.DataFrame(
                 {"doc_id": docs.astype("int64"), "bm25": bm, "tf_sum": tf}
@@ -235,6 +322,7 @@ class SearchEngine:
         k: int,
         mode: str,
         repo: str | None,
+        scope: tuple[int, float],
     ) -> pd.DataFrame:
         """Driver-local scoring via pyarrow.dataset pruned reads."""
         import pyarrow.dataset as pads
@@ -245,17 +333,21 @@ class SearchEngine:
         filt = (pads.field("bucket").isin(buckets)) & (pads.field("term").isin(terms))
         tbl = dataset.to_table(filter=filt)
         pdf = tbl.to_pandas()
-        idfs = self._idf_map(plan)
-        k1, b, avgdl = self.cfg.bm25_k1, self.cfg.bm25_b, self.avgdl
+        n_docs, avgdl = scope
+        idfs = self._idf_map(plan, n_docs)
+        k1, b = self.cfg.bm25_k1, self.cfg.bm25_b
         mode_and = mode == "and"
+        doc_range = self._doc_range(repo)
         outs = []
         for _, grp in pdf.groupby("salt"):
             term_rows: dict[str, list[dict]] = {}
-            for _, row in grp.iterrows():
+            for row in grp.to_dict("records"):
                 term_rows.setdefault(row["term"], []).append(row)
             if mode_and and len(term_rows) < len(terms):
                 continue
-            docs, bm, tf = score_salt_group(term_rows, idfs, k, mode_and, k1, b, avgdl)
+            docs, bm, tf = score_salt_group(
+                term_rows, idfs, k, mode_and, k1, b, avgdl, doc_range=doc_range
+            )
             outs.append(pd.DataFrame({"doc_id": docs.astype("int64"), "bm25": bm, "tf_sum": tf}))
         if not outs:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "bm25": pd.Series(dtype="float64"), "tf_sum": pd.Series(dtype="int64")})
@@ -275,23 +367,32 @@ class SearchEngine:
         mode: str = "and",
         engine: str = "local",
         with_snippets: bool = True,
+        with_count: bool = True,
     ) -> dict:
         """Reference ``SearchResponse`` shape
         (``dto/search/SearchResponse.java:8-13``, ``SearchData.java:6-13``):
         {result, count, data: [{site, siteName, uri, title, snippet,
         relevance}]} with site->repo, uri->path.
+
+        ``with_count=False`` skips the pre-pagination total (a second
+        postings read) and reports ``count=-1`` — the cheap path when a
+        caller only wants the page.
         """
         if not query.strip():
             return {"result": False, "error": "Empty search query"}
         if offset < 0 or limit <= 0:
             return {"result": False, "error": "offset must be >= 0 and limit > 0"}
-        plan, info3 = self.plan(query)
+        plan, info3, _ = self.plan(query, repo)
         if mode == "and" and plan.empty:
             return {"result": True, "count": 0, "data": []}
         k = offset + limit
         df = self.search_df(query, k=k, mode=mode, engine=engine, repo=repo)
         rows = df.collect() if isinstance(df, DataFrame) else list(df.itertuples())
-        total = self.count_matches(query, mode=mode, repo=repo, engine=engine)
+        total = (
+            self.count_matches(query, mode=mode, repo=repo, engine=engine)
+            if with_count
+            else -1
+        )
         page = rows[offset: offset + limit]
         if not page:
             return {"result": True, "count": total, "data": []}
@@ -334,14 +435,19 @@ class SearchEngine:
 
         ``engine="local"``: pyarrow pruned read of the flat postings
         (bucket dirs + term pushdown), pandas distinct/AND count — no
-        Spark job.  Any other value: the distributed plan (for counts
-        over head terms at full corpus scale).
+        Spark job.  Guard rail: when the query terms' summed global df
+        exceeds ``LOCAL_COUNT_MAX_DF`` the local path would materialize
+        that many rows on the driver, so it falls through to the
+        distributed plan regardless of what the caller asked for.
         """
-        plan, _ = self.plan(query)
+        plan, info3, _ = self.plan(query, repo)
         if not plan.ordered or (mode == "and" and plan.empty):
             return 0
         terms = [t for t, _, _ in plan.ordered]
         buckets = sorted({self._bucket_of(t) for t in terms})
+        total_df = sum(info3[t][0] for t in terms if t in info3)
+        if engine == "local" and total_df > LOCAL_COUNT_MAX_DF:
+            engine = "spark"
         if engine == "local":
             import pyarrow.dataset as pads
 

@@ -110,8 +110,39 @@ def oracle_search(
 
     AND mode reproduces the reference pipeline: all-terms-present
     bail-out, posting intersection, Σtf; BM25 computed alongside.
+    With ``repo``, planning AND scoring are per-repo (the reference's
+    per-site loop, SearchServiceImpl.java:74-114): the guard and the
+    ``100*df//N`` threshold use the repo's own df and page count, and
+    BM25 uses per-repo N/avgdl — a term present globally but absent in
+    the repo short-circuits a scoped AND query.
     """
-    terms, missing, _ = oracle_plan_terms(idx, query, search_filter_pct)
+    if repo is None:
+        terms, missing, _ = oracle_plan_terms(idx, query, search_filter_pct)
+        in_scope = None
+        n_eff, avgdl_eff = idx.n_docs, idx.avgdl
+        df_of = idx.df
+    else:
+        in_scope = {d for d in range(idx.n_docs) if idx.docs[d][0] == repo}
+        n_eff = len(in_scope)
+        dls = [idx.doclen[d] for d in in_scope]
+        avgdl_eff = (sum(dls) / len(dls)) if dls else 1.0
+
+        def df_of(t: str) -> int:
+            return idx.df_repo.get((t, repo), 0)
+
+        seen: dict[str, None] = {}
+        for t in analyze_text(query):
+            seen.setdefault(t)
+        terms, missing = [], []
+        for t in seen:
+            df = df_of(t)
+            if df == 0:
+                missing.append(t)
+                continue
+            if n_eff and (100 * df) // n_eff > search_filter_pct and not is_identifier(t):
+                continue
+            terms.append(t)
+        terms.sort(key=lambda t: (df_of(t), t))
     if not terms or (mode == "and" and missing):
         return []
     doc_ids: set[int] | None = None
@@ -126,12 +157,19 @@ def oracle_search(
         for t in terms:
             doc_ids |= set(idx.postings.get(t, {}))
     assert doc_ids is not None
-    if repo is not None:
-        doc_ids = {d for d in doc_ids if idx.docs[d][0] == repo}
+    if in_scope is not None:
+        doc_ids = doc_ids & in_scope
     results = []
     for d in doc_ids:
-        bm = sum(oracle_bm25(idx, t, d, k1, b) for t in terms)
-        tf_sum = sum(idx.postings.get(t, {}).get(d, 0) for t in terms)
+        bm = 0.0
+        tf_sum = 0
+        for t in terms:
+            tf = idx.postings.get(t, {}).get(d, 0)
+            tf_sum += tf
+            if tf:
+                idf = oracle_bm25_idf(df_of(t), n_eff)
+                dl = idx.doclen[d]
+                bm += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl_eff))
         results.append((d, bm, tf_sum))
     results.sort(key=lambda r: (-r[1], r[0]))
     return results[:k]

@@ -70,7 +70,7 @@ def test_blockmax_pruned_equals_exhaustive(engine, oracle_index):
     from searchengine_spark.operators import wand as W
 
     for query in ["index search query", "build merge split", "def return index"]:
-        plan, info3 = engine.plan(query)
+        plan, info3, _ = engine.plan(query)
         if not plan.ordered:
             continue
         import os
@@ -79,7 +79,7 @@ def test_blockmax_pruned_equals_exhaustive(engine, oracle_index):
         by_salt: dict[int, dict[str, list]] = {}
         for r in runs:
             by_salt.setdefault(r["salt"], {}).setdefault(r["term"], []).append(r.asDict())
-        idfs = engine._idf_map(plan)
+        idfs = engine._idf_map(plan, engine.n_docs)
         for salt, term_rows in by_salt.items():
             a = W.score_salt_group(term_rows, idfs, 10, False, CFG.bm25_k1, CFG.bm25_b, engine.avgdl, prune=True)
             b = W.score_salt_group(term_rows, idfs, 10, False, CFG.bm25_k1, CFG.bm25_b, engine.avgdl, prune=False)
@@ -158,7 +158,7 @@ def test_high_df_pruning_via_config(spark, index_dir, oracle_index):
     assert pct_common > pct_index, "fixture assumption"
     threshold = pct_index  # keeps 'index' (<=), prunes 'commonterm' (>)
     object.__setattr__(eng.cfg, "search_filter_pct", threshold)
-    plan, _ = eng.plan("commonterm index")
+    plan, _, _ = eng.plan("commonterm index")
     assert plan.pruned == ["commonterm"]
     assert [t for t, _, _ in plan.ordered] == ["index"]
     # oracle agrees
@@ -168,9 +168,68 @@ def test_high_df_pruning_via_config(spark, index_dir, oracle_index):
     assert [g[0] for g in got] == [w[0] for w in want]
 
 
-def test_repo_scoped_search(engine, oracle_index):
-    repo = oracle_index.docs[0][0]
-    want = oracle_search(oracle_index, "index", k=10, mode="and",
-                         k1=CFG.bm25_k1, b=CFG.bm25_b, repo=repo)
-    got = _rows(engine.search_df("index", k=10, mode="and", engine="flat", repo=repo))
-    assert [g[0] for g in got] == [w[0] for w in want]
+@pytest.mark.parametrize("eng_path", ENGINES)
+@pytest.mark.parametrize("query", ["index", "index search", "def return", "42"])
+def test_repo_scoped_search_rank_identical(engine, oracle_index, eng_path, query):
+    """Scoped queries use per-repo planning + scoring (reference
+    per-site loop) and stay rank-identical to the per-repo oracle on
+    every engine path — including the compressed-index WAND path (no
+    flat fallback)."""
+    repos = sorted({d[0] for d in oracle_index.docs})
+    for repo in repos[:2]:
+        for mode in ("and", "or"):
+            want = oracle_search(oracle_index, query, k=10, mode=mode,
+                                 k1=CFG.bm25_k1, b=CFG.bm25_b, repo=repo)
+            got = _rows(engine.search_df(query, k=10, mode=mode,
+                                         engine=eng_path, repo=repo))
+            assert [g[0] for g in got] == [w[0] for w in want], (repo, mode)
+            for (gd, gb, gt), (wd, wb, wt) in zip(got, want):
+                assert abs(gb - wb) < 1e-6, (repo, mode, gd)
+                assert gt == wt
+
+
+def test_repo_scoped_guard_term_missing_in_repo(engine, oracle_index):
+    """A term that exists globally but not in the scoped repo must
+    short-circuit the scoped AND query (SearchServiceImpl.java:104-107
+    evaluated per site) — even though an unscoped query matches."""
+    repos = sorted({d[0] for d in oracle_index.docs})
+    # find a (term, repo) pair where the term exists globally but not
+    # in that repo
+    candidates = [
+        (t, repo)
+        for t in oracle_index.postings
+        for repo in repos
+        if (t, repo) not in oracle_index.df_repo
+    ]
+    assert candidates, "fixture must contain repo-exclusive terms"
+    term, repo = candidates[0]
+    assert engine.search(term, repo=repo, mode="and")["count"] == 0
+    plan, _, _ = engine.plan(term, repo=repo)
+    assert plan.missing == [term]
+    # unscoped, the same term matches
+    assert engine.search(term, mode="and")["count"] > 0
+
+
+def test_repo_scoped_df_threshold_uses_repo_pages(engine, oracle_index):
+    """The 100*df//N prune threshold must use the repo's own page count
+    (SearchServiceImpl.java:108 inside the per-site loop)."""
+    repos = sorted({d[0] for d in oracle_index.docs})
+    repo = repos[0]
+    n_repo = sum(1 for d in oracle_index.docs if d[0] == repo)
+    got_n, got_avgdl, lo, hi = engine.repo_scope(repo)
+    assert got_n == n_repo
+    assert hi - lo + 1 == n_repo  # contiguous ids
+    # threshold=0: every non-identifier term with df_repo > 0 prunes
+    import dataclasses
+
+    object.__setattr__(engine.cfg, "search_filter_pct", 0)
+    try:
+        plan, _, _ = engine.plan("index", repo=repo)
+        assert plan.pruned == ["index"] or plan.missing == ["index"]
+    finally:
+        object.__setattr__(engine.cfg, "search_filter_pct", 100)
+
+
+def test_search_without_count_skips_second_scan(engine):
+    r = engine.search("index search", limit=3, with_count=False)
+    assert r["result"] is True and r["count"] == -1 and r["data"]
