@@ -28,7 +28,6 @@ from searchengine_spark.operators import dedup as D
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import similarity as SIM
 from searchengine_spark.operators import textstats as TS
-from searchengine_spark.plans.planner import bm25_idf
 from searchengine_spark.query.inline import inline_search_topk
 from searchengine_spark.sources.corpus import corpus_from_documents_table
 
@@ -124,27 +123,33 @@ def q_search_and_tf(spark, sf_dir):
 
 
 def q_search_bm25(spark, sf_dir):
-    """Q6: disjunctive BM25 top-10 (engine scoring, SURVEY.md §2.9)."""
+    """Q6: disjunctive BM25 top-10 (engine scoring, SURVEY.md §2.9).
+
+    ONE Catalyst plan — corpus N, avgdl, and per-term df are computed
+    in-plan (1-row broadcast cross joins), not collected to the driver
+    first; idf = ln(1 + (N - df + 0.5)/(df + 0.5)) as a column
+    expression.  (The SearchEngine path instead resolves these from a
+    pruned metadata read — this query is the pure-DataFrame contract.)
+    """
     docs = _read(spark, sf_dir, "documents")
-    n_docs = docs.count()
     ptf = _postings(spark, sf_dir)
     dl = ptf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    consts = docs.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
     qtf = ptf.where(F.col("term").isin(BM25_TERMS))
-    dfs = {
-        r["term"]: r["df"]
-        for r in qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
-    }
-    idf_df = spark.createDataFrame(
-        [(t, bm25_idf(int(dfs[t]), n_docs)) for t in dfs], "term string, idf double"
+    dfs = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     scored = (
-        qtf.join(F.broadcast(idf_df), "term")
+        qtf.join(F.broadcast(dfs), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
         .withColumn(
             "contrib",
-            F.col("idf") * F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)),
+            idf * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
         )
     )
     return (

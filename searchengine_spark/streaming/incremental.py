@@ -87,6 +87,50 @@ def stage_corpus_stream(
     return writer.start()
 
 
+def apply_staged_updates(
+    spark: SparkSession,
+    index_dir: str,
+    staging_dir: str,
+    full_rebuild_threshold: int = 64,
+) -> dict:
+    """Drain a staging area (written by :func:`stage_corpus_stream`)
+    into a live index.
+
+    Small deltas (< ``full_rebuild_threshold`` docs) take the S9
+    single-doc path — ``maintain.reindex_doc`` per staged row, touching
+    only the term buckets each doc's old+new terms hash into.  Larger
+    deltas should rebuild the affected stages instead (the batch
+    ``build_index`` resume path); this function refuses rather than
+    silently looping a bulk load through the per-doc path.
+
+    Returns {"applied": n, "records": [mutation records]}.  Reference
+    analog: the ``POST /api/indexPage`` upsert driven by a feed instead
+    of an HTTP call (``PageProcessorService.java:34-46``).
+    """
+    from searchengine_spark.index.maintain import reindex_doc
+
+    staged = spark.read.schema(CORPUS_SCHEMA).parquet(staging_dir).collect()
+    if len(staged) >= full_rebuild_threshold:
+        raise ValueError(
+            f"{len(staged)} staged docs >= threshold {full_rebuild_threshold}: "
+            "use the batch build_index resume path for bulk loads"
+        )
+    records = []
+    for row in staged:
+        records.append(
+            reindex_doc(
+                spark,
+                index_dir,
+                repo=row["repo"],
+                path=row["path"],
+                content=row["content"] or "",
+                commit=row["commit"],
+                lang=row["lang"],
+            )
+        )
+    return {"applied": len(records), "records": records}
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

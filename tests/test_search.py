@@ -233,3 +233,16 @@ def test_repo_scoped_df_threshold_uses_repo_pages(engine, oracle_index):
 def test_search_without_count_skips_second_scan(engine):
     r = engine.search("index search", limit=3, with_count=False)
     assert r["result"] is True and r["count"] == -1 and r["data"]
+
+
+def test_count_local_falls_back_to_spark_above_df_cap(engine, monkeypatch):
+    """count_matches must not materialize head-term postings on the
+    driver: with the cap forced to 0 the local engine silently routes
+    through the distributed plan and agrees with it."""
+    import searchengine_spark.query.engine as EM
+
+    monkeypatch.setattr(EM, "LOCAL_COUNT_MAX_DF", 0)
+    forced = engine.count_matches("index", engine="local")
+    monkeypatch.undo()
+    assert forced == engine.count_matches("index", engine="spark")
+    assert forced == engine.count_matches("index", engine="local")

@@ -61,6 +61,66 @@ class TestCorpusIngest:
         expect = docs.unionByName(more).dropDuplicates(["repo", "path", "commit"])
         assert staged2.dropDuplicates(["repo", "path", "commit"]).count() == expect.count()
 
+    def test_staged_updates_apply_via_single_doc_reindex(self, spark, tmp_path):
+        """Stream -> staging -> S9 per-doc apply: the live index ends
+        byte-equal (postings/term_stats) to a fresh build over the
+        updated corpus (streaming + maintenance integration)."""
+        from searchengine_spark import IndexConfig
+        from searchengine_spark.index.builder import build_index
+        from searchengine_spark.streaming.incremental import apply_staged_updates
+
+        cfg = IndexConfig(n_buckets=4, n_salts=2, block_size=32)
+        docs = generate_corpus(spark, n_repos=2, files_per_repo=8)
+        live = str(tmp_path / "live")
+        build_index(spark, docs, live, cfg, source="stream-live", store_content=True)
+
+        # stage two updates: one edit of an existing doc, one new doc
+        base = docs.limit(1).collect()[0]
+        updates = spark.createDataFrame(
+            [
+                (base["repo"], base["path"], base["commit"], base["lang"],
+                 base["content"] + " streamed edit marker"),
+                ("repo-new", "x/streamed.py", "c1", "py",
+                 "def streamedfn(): return streamedmarker"),
+            ],
+            ["repo", "path", "commit", "lang", "content"],
+        )
+        src = str(tmp_path / "delta_src")
+        staging = str(tmp_path / "delta_staging")
+        ckpt = str(tmp_path / "delta_ckpt")
+        updates.write.parquet(src)
+        q = stage_corpus_stream(stream_corpus(spark, src), staging, ckpt)
+        _await(q)
+
+        out = apply_staged_updates(spark, live, staging)
+        assert out["applied"] == 2
+
+        import os
+
+        from pyspark.sql import functions as F
+
+        ts = {
+            r["term"]: (r["df"], r["cf"])
+            for r in spark.read.parquet(os.path.join(live, "term_stats")).collect()
+        }
+        # fresh build over the updated corpus, compared by (repo, path)
+        merged = docs.where(
+            ~((F.col("repo") == base["repo"]) & (F.col("path") == base["path"]))
+        ).unionByName(updates)
+        fresh = str(tmp_path / "fresh")
+        build_index(spark, merged, fresh, cfg, source="stream-fresh", store_content=True)
+        ts_fresh = {
+            r["term"]: (r["df"], r["cf"])
+            for r in spark.read.parquet(os.path.join(fresh, "term_stats")).collect()
+        }
+        assert ts == ts_fresh
+
+        # bulk loads must refuse the per-doc path
+        import pytest
+
+        with pytest.raises(ValueError):
+            apply_staged_updates(spark, live, staging, full_rebuild_threshold=1)
+
     def test_exactly_once_on_rerun(self, spark, tmp_path):
         src = str(tmp_path / "src")
         staging = str(tmp_path / "staging")
