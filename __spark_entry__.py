@@ -302,13 +302,13 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs >= 0.35 via the BUCKETED
-    path (banded hyperplane blocking, 1 plane x 16 bands — sized so
+    path (banded hyperplane blocking, 1 plane x 12 bands — sized so
     candidate recall is 1.0 on this corpus, which the exact all-pairs
     SQL oracle verifies by hash-match).  Every emitted pair carries its
     exact cosine; blocking can only lose pairs, never invent them."""
     return SIM.cosine_neardup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.35,
-        block_planes=1, block_bands=16,
+        block_planes=1, block_bands=12,
     )
 
 
