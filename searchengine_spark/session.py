@@ -35,9 +35,16 @@ def get_spark(
             n = os.cpu_count() or 8
         shuffle_partitions = max(8, 2 * n)
 
+    from pyspark import SparkConf
+
+    builder = SparkSession.builder.appName(app_name)
+    # honor an externally-supplied master (spark-submit --master sets
+    # spark.master as a system property); the local[] master here is
+    # only the no-submit default
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
