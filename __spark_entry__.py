@@ -348,13 +348,15 @@ def q_frame_schedule(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    """Token counting: whitespace vs normalized vs distinct."""
+    """Token counting: whitespace vs normalized vs distinct vs BPE-ish
+    pre-tokenizer segments (GPT-2-shape letter/digit/punct runs)."""
     out = TS.token_counts(_read(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_bpe_segments").cast("long").alias("n_bpe_segments"),
     )
 
 
@@ -794,7 +796,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
                    CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS BIGINT) AS n_unique
+                   CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS BIGINT) AS n_unique,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_bpe_segments
             FROM documents
         """,
         "q_quality": f"""

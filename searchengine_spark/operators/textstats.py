@@ -25,15 +25,32 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+#: BPE-ish pre-tokenization segments over lowercased text: letter runs,
+#: digit runs, and non-alnum-non-space runs — the GPT-2-style
+#: pre-tokenizer shape, simplified to a pattern whose semantics are
+#: identical in Java regex (Spark) and RE2 (DuckDB oracle).  Counting
+#: these segments approximates subword token counts well enough for
+#: corpus budgeting (letters still merge into BPE pieces, but the
+#: segment count is the pre-merge upper bound the tokenizer starts from).
+BPE_SEGMENT_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_ws_tokens, n_tokens, n_unique) — whitespace split vs
-    normalized alnum tokens vs distinct terms."""
+    """(doc_id, n_ws_tokens, n_tokens, n_unique, n_bpe_segments) —
+    whitespace split vs normalized alnum tokens vs distinct terms vs
+    BPE-ish pre-tokenizer segments (see :data:`BPE_SEGMENT_RE`)."""
     toks = simple_tokens(text_col)
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_SEGMENT_RE), F.lit(0)
+        )
+    )
     return df.select(
         F.col(id_col),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
+        bpe.alias("n_bpe_segments"),
     )
 
 
