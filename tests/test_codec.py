@@ -129,3 +129,35 @@ def test_compression_beats_raw():
     ids = np.arange(0, 100_000, 2, dtype=np.uint64)
     row = encode_blocks(ids, np.ones(ids.size, dtype=np.int64), np.ones(ids.size, dtype=np.int64), 128)
     assert len(row["doc_bytes"]) < ids.size * 1.2
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=17),
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_partition_batch_boundaries(group_sizes, batch_rows):
+    """encode_partition must produce IDENTICAL rows (bytes included)
+    regardless of where Arrow batch boundaries fall — groups spanning
+    many batches are carried as a list of frames and encoded once."""
+    from searchengine_spark.index.format import encode_partition, encode_sorted_frame
+
+    rows = []
+    doc = 0
+    for g, size in enumerate(group_sizes):
+        for _ in range(size):
+            rows.append((f"t{g:03d}", g % 2, doc, 1 + doc % 7, 10 + doc % 5, g % 4))
+            doc += 2
+    pdf = pd.DataFrame(
+        rows, columns=["term", "salt", "doc_id", "tf", "dl", "bucket"]
+    )
+    want = encode_sorted_frame(pdf, block_size=8)
+
+    batches = [
+        pdf.iloc[i: i + batch_rows].reset_index(drop=True)
+        for i in range(0, len(pdf), batch_rows)
+    ]
+    got = pd.concat(list(encode_partition(iter(batches), 8)), ignore_index=True)
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col

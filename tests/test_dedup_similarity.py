@@ -213,6 +213,28 @@ def test_cosine_neardup_high_threshold_clusters(spark):
     assert got == want
 
 
+def test_ivf_label_partition_pruning(spark, emb_df, tmp_path):
+    """The IVF scale claim made concrete: with the table written
+    partitioned by cell (label), the cell filter becomes partition
+    pruning — the scan lists only the query cell's directory."""
+    p = str(tmp_path / "emb_by_label")
+    emb_df.write.partitionBy("label").parquet(p)
+    part = spark.read.parquet(p)
+    row = emb_df.where(F.col("vec_id") == 0).collect()[0]
+    q, label = [float(x) for x in row["embedding"]], int(row["label"])
+    topk = S.ivf_topk(part, q, label, k=5, exclude_id=0)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the result is the exact within-cell ranking
+    want = [
+        r["vec_id"]
+        for r in S.cosine_topk(
+            emb_df.where(F.col("label") == label), q, k=5, exclude_id=0
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in topk.collect()] == want
+
+
 # ---------------------------------------------------------------------------
 # MinHash numeric-prefix ordering parity
 # ---------------------------------------------------------------------------
