@@ -64,6 +64,24 @@ ANALYZED_SCHEMA = "doc_id long, term string, tf int, dl int, repo string"
 #: Readers of real postings filter ``bucket >= 0`` (partition-pruned).
 DOC_ROW_BUCKET = -1
 
+#: Spark job group tag for build jobs — the handle :func:`cancel_build`
+#: cancels (the reference's ``GET /api/stopIndexing`` flag,
+#: ``IndexingServiceImpl.java:157-165``, re-expressed as job-group
+#: cancellation; completed stage checkpoints survive, so a later
+#: ``build_index`` resumes instead of restarting)
+BUILD_JOB_GROUP = "searchengine-spark-build"
+
+
+def cancel_build(spark: SparkSession) -> None:
+    """Cancel every in-flight build job (stopIndexing analog).
+
+    Whatever stage was mid-flight fails in the building thread; stages
+    that already wrote their checkpoint manifest are kept, and the next
+    ``build_index`` over the same (source, config) resumes after them
+    (tests/test_index.py::test_cancel_midbuild_then_resume).
+    """
+    spark.sparkContext.cancelJobGroup(BUILD_JOB_GROUP)
+
 
 def read_flat_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     """The flat postings relation ``(term, doc_id, tf, dl, repo, bucket)``
@@ -244,6 +262,28 @@ def build_index(
 
     Returns the build metrics dict (also persisted in the manifests).
     """
+    # tag this thread's jobs so cancel_build() (stopIndexing analog)
+    # can abort them; job groups are thread-local in Spark
+    spark.sparkContext.setJobGroup(
+        BUILD_JOB_GROUP, f"build_index {out_dir}", interruptOnCancel=True
+    )
+    try:
+        return _build_index_staged(
+            spark, docs, out_dir, cfg, source, force, store_content
+        )
+    finally:
+        spark.sparkContext._jsc.clearJobGroup()  # noqa: SLF001
+
+
+def _build_index_staged(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: IndexConfig,
+    source: str,
+    force: bool,
+    store_content: bool,
+) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     fingerprint = {"source": source, "config": cfg.to_json(), "content": store_content}
     metrics: dict = {}

@@ -176,6 +176,58 @@ def test_resume_skips_completed_stages(spark, corpus_rows, tmp_path):
     assert ts_before == ts_after
 
 
+def test_cancel_midbuild_then_resume(spark, corpus_rows, tmp_path):
+    """stopIndexing analog (IndexingServiceImpl.java:157-165): cancel
+    the build job group mid-stage-2; the stage-1 checkpoint survives and
+    a rerun resumes after it, producing the same index as a clean build
+    (the north_rule kill-and-resume story at job granularity)."""
+    import threading
+    import time as _t
+
+    from searchengine_spark.index.builder import cancel_build
+
+    out = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        corpus_rows, schema=["repo", "path", "commit", "lang", "content"]
+    )
+    errors: list[Exception] = []
+
+    def run():
+        try:
+            build_index(spark, docs, out, CFG, source="cancel-test")
+        except Exception as exc:  # noqa: BLE001 — cancellation lands here
+            errors.append(exc)
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait for stage 1 to checkpoint, then cancel while stage 2 runs
+    s1 = os.path.join(out, "_checkpoints", "stage1.json")
+    deadline = _t.time() + 120
+    while not os.path.exists(s1) and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert os.path.exists(s1), "stage1 checkpoint never appeared"
+    _t.sleep(0.3)
+    cancel_build(spark)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    if errors:  # cancellation hit stage 2 (the expected, common case)
+        assert not os.path.exists(os.path.join(out, "_checkpoints", "stage2.json"))
+    # resume: stage1 skipped, stage2 (re)built; result equals clean build
+    m = build_index(spark, docs, out, CFG, source="cancel-test")
+    assert m["stage1"]["fingerprint"]["source"] == "cancel-test"
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, docs, fresh, CFG, source="cancel-test")
+    ts_resumed = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "term_stats")).collect()
+    }
+    ts_fresh = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(fresh, "term_stats")).collect()
+    }
+    assert ts_resumed == ts_fresh
+
+
 def test_config_change_invalidates_checkpoint(spark, corpus_rows, tmp_path):
     from searchengine_spark import IndexConfig
 
