@@ -190,10 +190,13 @@ class SearchEngine:
         mode: str = "and",
         engine: str = "wand",
         repo: str | None = None,
+        planned: tuple | None = None,
     ) -> DataFrame:
         """Top-k as a DataFrame (doc_id, bm25, tf_sum), deterministic
-        order (bm25 desc, doc_id asc)."""
-        plan, info3, scope = self.plan(query, repo)
+        order (bm25 desc, doc_id asc).  ``planned`` lets callers reuse
+        an already-computed ``plan()`` result (one term-dictionary read
+        per request, not one per phase — the p50 path)."""
+        plan, info3, scope = planned if planned is not None else self.plan(query, repo)
         if plan.empty and mode == "and":
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         if not plan.ordered:
@@ -382,14 +385,19 @@ class SearchEngine:
             return {"result": False, "error": "Empty search query"}
         if offset < 0 or limit <= 0:
             return {"result": False, "error": "offset must be >= 0 and limit > 0"}
-        plan, info3, _ = self.plan(query, repo)
+        planned = self.plan(query, repo)
+        plan, info3, _ = planned
         if mode == "and" and plan.empty:
             return {"result": True, "count": 0, "data": []}
         k = offset + limit
-        df = self.search_df(query, k=k, mode=mode, engine=engine, repo=repo)
+        df = self.search_df(
+            query, k=k, mode=mode, engine=engine, repo=repo, planned=planned
+        )
         rows = df.collect() if isinstance(df, DataFrame) else list(df.itertuples())
         total = (
-            self.count_matches(query, mode=mode, repo=repo, engine=engine)
+            self.count_matches(
+                query, mode=mode, repo=repo, engine=engine, planned=planned
+            )
             if with_count
             else -1
         )
@@ -401,7 +409,7 @@ class SearchEngine:
         scores = [float(r.bm25 if hasattr(r, "bm25") else r["bm25"]) for r in page]
         tf_sums = [int(r.tf_sum if hasattr(r, "tf_sum") else r["tf_sum"]) for r in page]
         max_tf = max(tf_sums) if tf_sums else 1
-        docs_meta = self._doc_meta(doc_ids)
+        docs_meta = self._doc_meta(doc_ids, need_content=with_snippets)
         qterms = {t for t, _, _ in plan.ordered}
         data = []
         for doc_id, score, tfs in zip(doc_ids, scores, tf_sums):
@@ -429,6 +437,7 @@ class SearchEngine:
         mode: str = "and",
         repo: str | None = None,
         engine: str = "local",
+        planned: tuple | None = None,
     ) -> int:
         """Total hit count pre-pagination (reference ``count``,
         SearchServiceImpl.java:171,200).
@@ -440,7 +449,7 @@ class SearchEngine:
         that many rows on the driver, so it falls through to the
         distributed plan regardless of what the caller asked for.
         """
-        plan, info3, _ = self.plan(query, repo)
+        plan, info3, _ = planned if planned is not None else self.plan(query, repo)
         if not plan.ordered or (mode == "and" and plan.empty):
             return 0
         terms = [t for t, _, _ in plan.ordered]
@@ -474,12 +483,25 @@ class SearchEngine:
             per_doc = per_doc.where(F.col("n") == len(terms))
         return per_doc.count()
 
-    def _doc_meta(self, doc_ids: list[int]) -> dict[int, dict]:
-        """Materialize doc metadata + content for k result rows only
-        (join AFTER top-k — J4, SearchServiceImpl.java:176)."""
-        ds = self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
-        rows = ds.where(F.col("doc_id").isin(doc_ids)).collect()
-        out = {int(r["doc_id"]): r.asDict() for r in rows}
+    def _doc_meta(self, doc_ids: list[int], need_content: bool = True) -> dict[int, dict]:
+        """Materialize doc metadata (+ content when snippets are wanted)
+        for k result rows only (join AFTER top-k — J4,
+        SearchServiceImpl.java:176).  Driver-side pyarrow pruned read
+        (row-group statistics on doc_id) — no Spark job on the p50
+        path; ``need_content=False`` additionally skips the wide
+        content column entirely."""
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(
+            os.path.join(self.index_dir, "doc_stats"), format="parquet"
+        )
+        cols = [f.name for f in ds.schema]
+        if not need_content and "content" in cols:
+            cols = [c for c in cols if c != "content"]
+        tbl = ds.to_table(filter=pads.field("doc_id").isin(doc_ids), columns=cols)
+        out = {int(m["doc_id"]): m for m in tbl.to_pylist()}
+        if not need_content:
+            return out
         if out and "content" in next(iter(out.values())):
             return out  # built with store_content=True
         src = self.meta.get("source")
