@@ -45,11 +45,17 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_simhash",
     "q_ann_cosine",
+    "q_ann_lsh",
     "q_token_counts",
     "q_quality",
+    "q_langid",
+    "q_fingerprints",
     "q_tpch_pricing",
     "q_rev_by_nation",
+    "q_top_customers",
     "q_events_hourly",
+    "q_sessionize",
+    "q_running_revenue",
 ]
 
 #: reference-style query mix over the documents corpus (FIXTURES.md §2):
