@@ -156,6 +156,45 @@ def test_delete_repo_matches_fresh_build_by_identity(spark, corpus_rows, tmp_pat
         assert rl == rf
 
 
+def test_reindex_doc_without_stored_content(spark, corpus_rows, tmp_path):
+    """reindex_doc must work on an index built with
+    store_content=False (the production configuration)."""
+    rows = corpus_rows[:20]
+    out = str(tmp_path / "idx")
+    docs = spark.createDataFrame(rows, schema=["repo", "path", "commit", "lang", "content"])
+    build_index(spark, docs, out, CFG, source="nc", store_content=False)
+    target = rows[3]
+    rec = reindex_doc(spark, out, target[0], target[1], "replacement nocontent marker")
+    assert not rec["new_doc"]
+    ds = spark.read.parquet(os.path.join(out, "doc_stats"))
+    assert "content" not in ds.columns
+    row = ds.where(F.col("doc_id") == rec["doc_id"]).collect()[0]
+    assert row["doclen"] == 3
+    # postings reflect the new content
+    flat = read_flat_postings(spark, out)
+    terms = {r["term"] for r in flat.where(F.col("doc_id") == rec["doc_id"]).collect()}
+    assert terms == {"replacement", "nocontent", "marker"}
+
+
+def test_reindex_doc_to_empty_content(spark, corpus_rows, tmp_path):
+    """Re-indexing a doc to empty content removes all its postings but
+    keeps the doc row (doclen 0) — the reference's empty-page case."""
+    rows = corpus_rows[:15]
+    out = str(tmp_path / "idx")
+    docs = spark.createDataFrame(rows, schema=["repo", "path", "commit", "lang", "content"])
+    build_index(spark, docs, out, CFG, source="ec", store_content=True)
+    target = rows[2]
+    rec = reindex_doc(spark, out, target[0], target[1], "")
+    flat = read_flat_postings(spark, out)
+    assert flat.where(F.col("doc_id") == rec["doc_id"]).count() == 0
+    ds = spark.read.parquet(os.path.join(out, "doc_stats"))
+    row = ds.where(F.col("doc_id") == rec["doc_id"]).collect()[0]
+    assert row["doclen"] == 0
+    # engine still opens and searches fine
+    eng = SearchEngine(spark, out)
+    assert eng.statistics()["statistics"]["total"]["pages"] == len(rows)
+
+
 def test_delete_last_repo_empties_index(spark, corpus_rows, tmp_path):
     """Deleting the only repo must leave a consistent empty index
     (post-mutation reads use explicit schemas — no inference on
