@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from searchengine_spark.analyzer import IDENT_RE, STOPWORDS
 from searchengine_spark.functions.text import simple_tokens
 from searchengine_spark.operators import dedup as D
 from searchengine_spark.operators import multimodal as MM
@@ -110,14 +111,22 @@ def q_corpus_stats(spark, sf_dir):
 
 def q_search_and_tf(spark, sf_dir):
     """J2/J3/A3/A4/O2: conjunctive Σtf search with max-normalized
-    relevance (the reference scoring, SearchServiceImpl.java:116-161)."""
+    relevance (the reference scoring, SearchServiceImpl.java:116-161).
+
+    A4's max-normalization is a scalar aggregate + 1-row broadcast
+    cross join (the q_search_bm25 consts pattern), NOT a
+    max-over-empty-window — the latter moves every matched doc to one
+    partition at scale (WindowExec "No Partition Defined")."""
     ptf = _postings(spark, sf_dir).where(F.col("term").isin(AND_TERMS))
     agg = ptf.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("tf_sum"), F.count("*").alias("n")
     )
     matched = agg.where(F.col("n") == len(AND_TERMS)).select("doc_id", "tf_sum")
-    rel = matched.withColumn(
-        "rel", F.round(F.col("tf_sum") / F.max("tf_sum").over(W.partitionBy()), 6)
+    mx = matched.agg(F.max("tf_sum").alias("mx"))
+    rel = (
+        matched.crossJoin(F.broadcast(mx))
+        .withColumn("rel", F.round(F.col("tf_sum") / F.col("mx"), 6))
+        .drop("mx")
     )
     return rel.orderBy(F.desc("tf_sum"), F.asc("doc_id")).limit(10)
 
@@ -204,11 +213,27 @@ def q_union_distinct(spark, sf_dir):
 
 def q_pagination(spark, sf_dir):
     """O3: offset/limit pagination window (rows 11-20 of the ranking,
-    SearchServiceImpl.java:167-175)."""
+    SearchServiceImpl.java:167-175).
+
+    Scale shape: top-(offset+limit) via orderBy().limit() — a
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global row_number window over the full posting list — then the
+    k-bounded page is ranked/sliced driver-side, exactly like the
+    engine's own pagination (query/engine.py search(): collect k rows,
+    slice [offset, offset+limit))."""
+    offset, limit = 10, 10
     ptf = _postings(spark, sf_dir).where(F.col("term") == "join")
-    w = W.partitionBy().orderBy(F.desc("tf"), F.asc("doc_id"))
-    ranked = ptf.select("doc_id", "tf", F.row_number().over(w).alias("rn"))
-    return ranked.where((F.col("rn") >= 11) & (F.col("rn") <= 20))
+    top = (
+        ptf.select("doc_id", "tf")
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(offset + limit)
+        .collect()
+    )
+    page = [
+        (int(r["doc_id"]), int(r["tf"]), i + 1)
+        for i, r in enumerate(top)
+    ][offset: offset + limit]
+    return spark.createDataFrame(page, "doc_id long, tf long, rn long")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -480,26 +505,52 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_running_revenue(spark, sf_dir):
-    """Window-function family: daily totals + running cumulative sum."""
+    """Window-function family: daily totals + running cumulative sum.
+
+    Two-level prefix sum, the 100 TB window shape: the running sum is
+    computed WITHIN each year partition (Window.partitionBy("y") — no
+    single-partition global window), then shifted by the prior years'
+    totals via a tiny broadcast non-equi self-join (|years| rows).
+    Exact DECIMAL throughout; cast to double only at the output."""
     orders = _read(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
     ).agg(
         F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).alias("daily_dec")
+    ).withColumn("y", F.substring("d", 1, 4))
+    wy = W.partitionBy("y").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    ytot = daily.groupBy("y").agg(F.sum("daily_dec").alias("y_tot"))
+    zero = F.lit("0").cast("decimal(38,2)")
+    yoff = (
+        ytot.alias("a")
+        .join(F.broadcast(ytot.alias("b")), F.col("b.y") < F.col("a.y"), "left")
+        .groupBy(F.col("a.y").alias("y"))
+        .agg(F.coalesce(F.sum("b.y_tot"), zero).alias("y_off"))
     )
-    w = W.partitionBy().orderBy("d").rowsBetween(W.unboundedPreceding, 0)
-    return daily.select(
-        "d",
-        F.col("daily_dec").cast("double").alias("daily"),
-        F.sum("daily_dec").over(w).cast("double").alias("running"),
+    return (
+        daily.withColumn("run_y", F.sum("daily_dec").over(wy))
+        .join(F.broadcast(yoff), "y")
+        .select(
+            "d",
+            F.col("daily_dec").cast("double").alias("daily"),
+            (F.col("run_y") + F.col("y_off")).cast("double").alias("running"),
+        )
     )
 
 
 def q_flagship_engine(spark, sf_dir):
-    """Full-analyzer inline BM25 (rows-only: the analyzer's identifier/
-    stop/lemma rules are pinned against the pytest oracle, not SQL)."""
+    """Full-analyzer inline BM25 top-10 — the flagship read path.
+
+    The ENTIRE analyzer (tokenizer regex, identifier bypass, stop-set,
+    suffix lemmatizer — searchengine_spark/analyzer.py) is deterministic
+    regex+table rules, so the DuckDB oracle re-expresses it in ANSI SQL
+    (_FLAGSHIP_ANALYZER_SQL) and hash-matches the BM25 top-10 end to
+    end; bm25 is rounded to 6 AFTER the unrounded top-k ordering."""
     corpus = corpus_from_documents_table(spark, sf_dir)
-    return inline_search_topk(corpus, "spark query dup", k=10, mode="or")
+    res = inline_search_topk(corpus, "spark query dup", k=10, mode="or")
+    return res.select(
+        "doc_id", "repo", F.round("bm25", 6).alias("bm25"), "tf_sum"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -584,6 +635,73 @@ _SIMHASH_CTE = (
     )
     + " AS BIGINT) AS simhash FROM votes)"
 )
+
+
+# Full-analyzer oracle for the flagship query: the engine's analyzer
+# (searchengine_spark/analyzer.py — tokenizer regex, identifier bypass,
+# stop-set, ordered suffix rules) is deterministic regex+table logic,
+# re-expressed here in DuckDB SQL so the driver can hash-match the
+# inline BM25 read path end to end.  doc ids reproduce
+# index/builder.py assign_doc_ids: dense rank over (repo, path,
+# commit); corpus_from_documents_table makes path = 'doc-' || lpad(id),
+# so ORDER BY (source, doc_id) is the same total order.
+_STOPLIST_SQL = ", ".join(repr(w) for w in sorted(STOPWORDS))
+_FLAGSHIP_ANALYZER_SQL = rf"""
+WITH corpus AS (
+  SELECT row_number() OVER (ORDER BY source, doc_id) - 1 AS cid,
+         source AS repo, text
+  FROM documents
+),
+rawtoks AS (
+  SELECT cid, repo,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-zа-яё0-9/\-\s]', ' ', 'g')), '\s+')) AS tok
+  FROM corpus
+),
+toks AS (
+  SELECT cid, repo,
+         CASE
+           WHEN regexp_full_match(tok, '{IDENT_RE}') THEN tok
+           WHEN length(tok) >= 5 AND tok LIKE '%ies'
+             THEN substr(tok, 1, length(tok) - 3) || 'y'
+           WHEN length(tok) >= 5 AND tok LIKE '%sses'
+             THEN substr(tok, 1, length(tok) - 2)
+           WHEN length(tok) >= 6 AND tok LIKE '%ing'
+             THEN substr(tok, 1, length(tok) - 3)
+           WHEN length(tok) >= 5 AND tok LIKE '%ed'
+             THEN substr(tok, 1, length(tok) - 2)
+           WHEN length(tok) >= 4 AND tok LIKE '%s'
+                AND tok NOT LIKE '%ss' AND tok NOT LIKE '%us'
+                AND tok NOT LIKE '%is'
+             THEN substr(tok, 1, length(tok) - 1)
+           ELSE tok
+         END AS term
+  FROM rawtoks
+  WHERE regexp_matches(tok, '[a-zа-яё0-9]')
+    AND (regexp_full_match(tok, '{IDENT_RE}')
+         OR tok NOT IN ({_STOPLIST_SQL}))
+),
+ptf AS (SELECT cid, repo, term, count(*) AS tf
+        FROM toks GROUP BY cid, repo, term),
+dl AS (SELECT cid, CAST(sum(tf) AS DOUBLE) AS dl FROM ptf GROUP BY cid),
+consts AS (SELECT (SELECT count(*) FROM dl) AS n,
+                  (SELECT avg(dl) FROM dl) AS avgdl),
+dfs AS (SELECT term, count(*) AS df FROM ptf
+        WHERE term IN ('spark', 'query', 'dup') GROUP BY term),
+scored AS (
+  SELECT p.cid, p.repo,
+         ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS contrib,
+         p.tf AS tf
+  FROM ptf p JOIN dfs f USING (term) JOIN dl d USING (cid)
+             CROSS JOIN consts c
+  WHERE p.term IN ('spark', 'query', 'dup')),
+agg AS (SELECT cid, repo, sum(contrib) AS bm25_raw,
+               CAST(sum(tf) AS BIGINT) AS tf_sum
+        FROM scored GROUP BY cid, repo)
+SELECT cid AS doc_id, repo, round(bm25_raw, 6) AS bm25, tf_sum
+FROM agg ORDER BY bm25_raw DESC, cid LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -901,4 +1019,5 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
             FROM daily
         """,
+        "q_flagship_engine": _FLAGSHIP_ANALYZER_SQL,
     }
