@@ -23,12 +23,17 @@ comparison is exact (tests/test_maintain.py pins both).
 
 Scale shape:
 
-- ``delete_repo``: doc ids are contiguous per repo (builder rank
-  order), so the encoded-run rewrite is a NARROW ``mapInPandas`` pass
-  that forwards every run whose [block_first, block_last] range misses
-  the repo's id range untouched (metadata check, no decode) and
-  re-encodes only overlapping runs.  No shuffle.  The flat-postings
-  filter pass prunes on the ``repo`` column's row-group statistics.
+- ``delete_repo``: a freshly built repo's doc ids are contiguous
+  (builder rank order), so the encoded-run rewrite is a NARROW
+  ``mapInPandas`` pass that forwards every run whose [block_first,
+  block_last] range misses the repo's id range untouched (metadata
+  check, no decode) and re-encodes only overlapping runs.  When
+  ``reindex_doc`` has broken contiguity (new doc in an existing repo
+  gets max_id+1), the same pass filters by exact membership in the
+  repo's sorted id array instead — never by the widened range.  No
+  shuffle either way; the flat-postings filter pass prunes on the
+  ``repo`` column's row-group statistics and rewrites within existing
+  bucket dirs (no repartition).
 - ``reindex_doc``: the doc's old terms come from a driver-side pyarrow
   read (row-group pruning on doc_id); only the buckets that old+new
   terms hash into are rewritten and re-encoded — the rest of the index
@@ -78,6 +83,14 @@ def _read_flat(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.schema(_FLAT_SCHEMA).parquet(
         os.path.join(index_dir, "stage1_postings")
     )
+
+
+def flat_survivors(spark: SparkSession, flat_path: str, repo: str) -> DataFrame:
+    """The flat-postings rows surviving a repo purge — a NARROW plan
+    (no repartition/Exchange): each input split keeps its bucket value,
+    so the downstream ``partitionBy("bucket")`` write routes rows back
+    to their hive dirs without a shuffle (tests assert the plan)."""
+    return spark.read.parquet(flat_path).where(F.col("repo") != repo)
 
 
 def _load_meta(index_dir: str) -> tuple[dict, IndexConfig]:
@@ -200,17 +213,37 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
     if not bounds["n"]:
         return {"op": "delete_repo", "repo": repo, "deleted_docs": 0}
     lo, hi, n = int(bounds["lo"]), int(bounds["hi"]), int(bounds["n"])
-    # builder rank order makes a repo's ids contiguous; the run rewrite
-    # relies on it to prune by [block_first, block_last] alone
-    assert hi - lo + 1 == n, "repo doc ids must be contiguous (builder rank order)"
+    # A freshly built repo's ids are contiguous (builder rank order), so
+    # runs prune by [block_first, block_last] alone.  reindex_doc can
+    # break contiguity (a new doc in an existing repo gets max_id+1);
+    # then the rewrite filters by exact membership in the repo's sorted
+    # id array instead (repo-sized, shipped in the kernel closure) —
+    # NEVER by the widened [lo, hi] range, which would delete other
+    # repos' postings.
+    contiguous = hi - lo + 1 == n
+    repo_ids = None
+    if not contiguous:
+        repo_ids = np.sort(
+            np.array(
+                [
+                    r["doc_id"]
+                    for r in ds.where(F.col("repo") == repo)
+                    .select("doc_id")
+                    .collect()
+                ],
+                dtype=np.int64,
+            )
+        )
 
-    # flat postings (incl. bucket=-1 doclen sentinels): filter pass
+    # flat postings (incl. bucket=-1 doclen sentinels): filter pass.
+    # NARROW: input splits already live in bucket=... hive dirs, so the
+    # dynamic-partition write routes surviving rows back to their dirs
+    # without any repartition/Exchange (the repo filter prunes via
+    # row-group statistics).
     flat_path = os.path.join(index_dir, "stage1_postings")
     tmp = flat_path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(flat_path).where(F.col("repo") != repo).repartition(
-        cfg.n_buckets, "bucket"
-    ).write.partitionBy("bucket").parquet(tmp)
+    flat_survivors(spark, flat_path, repo).write.partitionBy("bucket").parquet(tmp)
     _swap_dir(tmp, flat_path)
 
     # encoded runs: narrow keep-or-reencode pass, no shuffle
@@ -220,14 +253,27 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
         from searchengine_spark.index.format import decode_run
 
         for pdf in batches:
-            keep_mask = (pdf["block_last"].map(lambda a: a[-1]) < lo) | (
-                pdf["block_first"].map(lambda a: a[0]) > hi
-            )
+            run_first = pdf["block_first"].map(lambda a: a[0])
+            run_last = pdf["block_last"].map(lambda a: a[-1])
+            if repo_ids is None:
+                keep_mask = (run_last < lo) | (run_first > hi)
+            else:  # keep iff no repo id falls inside the run's range
+                lo_pos = np.searchsorted(repo_ids, run_first.to_numpy())
+                hi_pos = np.searchsorted(
+                    repo_ids, run_last.to_numpy(), side="right"
+                )
+                keep_mask = pd.Series(hi_pos <= lo_pos, index=pdf.index)
             out = [pdf[keep_mask]]
             for _, row in pdf[~keep_mask].iterrows():
                 docs, tfs, dls = decode_run(row)
                 docs = docs.astype(np.int64)
-                m = (docs < lo) | (docs > hi)
+                if repo_ids is None:
+                    m = (docs < lo) | (docs > hi)
+                else:
+                    pos = np.minimum(
+                        np.searchsorted(repo_ids, docs), repo_ids.size - 1
+                    )
+                    m = repo_ids[pos] != docs
                 if not m.any():
                     continue
                 enc = encode_blocks(
@@ -263,6 +309,7 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
         "repo": repo,
         "deleted_docs": n,
         "doc_id_range": [lo, hi],
+        "contiguous": contiguous,
         "wall_sec": round(time.time() - t0, 3),
     }
     _record_mutation(index_dir, rec)

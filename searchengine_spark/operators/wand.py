@@ -49,11 +49,15 @@ def _block_ub(
 class TermRuns:
     """All runs of one term within one salt group, lazily decodable.
 
-    ``doc_range=(lo, hi)`` restricts every decode to that doc-id
-    subspace using block metadata first (skip whole blocks outside the
-    range) — the repo-scoped read path: a repo's doc ids are contiguous
-    (builder rank order), so scoping is a range restriction, not a
-    filter column.
+    ``doc_range`` restricts every decode to a doc-id subspace using
+    block metadata first (skip whole blocks that cannot contain a
+    selected doc) — the repo-scoped read path.  Two forms:
+
+    - ``(lo, hi)`` tuple — contiguous range (builder rank order gives
+      every freshly built repo a contiguous id block);
+    - sorted ``np.ndarray`` of doc ids — exact membership, used when
+      maintenance (reindex_doc adding a doc to an existing repo) has
+      broken contiguity; searchsorted per block keeps the pruning.
     """
 
     def __init__(
@@ -63,28 +67,54 @@ class TermRuns:
         k1: float,
         b: float,
         avgdl: float,
-        doc_range: tuple[int, int] | None = None,
+        doc_range: "tuple[int, int] | np.ndarray | None" = None,
     ):
         self.rows = rows
         self.idf = idf
         self.k1, self.b, self.avgdl = k1, b, avgdl
-        self.doc_range = doc_range
+        if isinstance(doc_range, np.ndarray):
+            self._ids = np.asarray(doc_range, dtype=np.uint64)
+            self.doc_range = (
+                (int(self._ids[0]), int(self._ids[-1]))
+                if self._ids.size
+                else (0, -1)
+            )
+        else:
+            self._ids = None
+            self.doc_range = doc_range
         self.df = sum(int(r["df_run"]) for r in rows)
         self._decoded: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     def block_overlap(self, r) -> np.ndarray:
-        """Per-block bool: does the block's [first, last] intersect the
-        doc_range?  All-true when unscoped."""
+        """Per-block bool: may the block's [first, last] contain a
+        selected doc?  All-true when unscoped."""
         first = np.asarray(r["block_first"], dtype=np.uint64)
         if self.doc_range is None:
             return np.ones(first.shape, dtype=bool)
         last = np.asarray(r["block_last"], dtype=np.uint64)
+        if self._ids is not None:
+            if self._ids.size == 0:
+                return np.zeros(first.shape, dtype=bool)
+            lo_pos = np.searchsorted(self._ids, first, side="left")
+            hi_pos = np.searchsorted(self._ids, last, side="right")
+            return hi_pos > lo_pos
         lo, hi = self.doc_range
+        if hi < lo:
+            return np.zeros(first.shape, dtype=bool)
         return (last >= np.uint64(lo)) & (first <= np.uint64(hi))
 
     def _range_filter(self, d, t, l):
         if self.doc_range is None or d.size == 0:
             return d, t, l
+        if self._ids is not None:
+            if self._ids.size == 0:
+                m = np.zeros(d.shape, dtype=bool)
+            else:
+                pos = np.minimum(
+                    np.searchsorted(self._ids, d), self._ids.size - 1
+                )
+                m = self._ids[pos] == d
+            return d[m], t[m], l[m]
         lo, hi = self.doc_range
         m = (d >= np.uint64(lo)) & (d <= np.uint64(hi))
         return d[m], t[m], l[m]
@@ -196,7 +226,7 @@ def score_salt_group(
     b: float,
     avgdl: float,
     prune: bool = True,
-    doc_range: tuple[int, int] | None = None,
+    doc_range: "tuple[int, int] | np.ndarray | None" = None,
 ):
     """Score one salt group.  Returns (doc_ids, bm25, tf_sum) top-k.
 
@@ -204,8 +234,10 @@ def score_salt_group(
     ``term_meta``: term -> idf.
     ``mode_and``: True = conjunctive (reference semantics, every term
     must match); False = disjunctive BM25 top-k with block-max pruning.
-    ``doc_range``: restrict scoring to a contiguous doc-id subspace
-    (repo scoping — the per-site loop of SearchServiceImpl.java:74-82).
+    ``doc_range``: restrict scoring to a doc-id subspace (repo scoping
+    — the per-site loop of SearchServiceImpl.java:74-82): a contiguous
+    (lo, hi) range, or a sorted id array when maintenance broke the
+    repo's contiguity (see TermRuns).
     """
     terms = [
         TermRuns(rows, term_meta[t], k1, b, avgdl, doc_range)

@@ -67,6 +67,9 @@ class SearchEngine:
             os.path.join(index_dir, "term_stats")
         )
         self._repo_scope_cache: dict[str, tuple[int, float, int, int]] = {}
+        #: repos whose doc ids are NOT a contiguous block (maintenance
+        #: added docs after the build) -> sorted id array for scoping
+        self._repo_ids_cache: dict[str, "object"] = {}
 
     # ------------------------------------------------------------------
     # planning
@@ -103,10 +106,15 @@ class SearchEngine:
 
     def repo_scope(self, repo: str) -> tuple[int, float, int, int]:
         """(n_pages, avgdl, doc_id_lo, doc_id_hi) of one repo — driver
-        pyarrow pruned read of doc_stats, cached.  A repo's doc ids are
-        contiguous (builder rank order), so scoping the scorer is a
-        range restriction on the decoded runs."""
+        pyarrow pruned read of doc_stats, cached.  A freshly built
+        repo's doc ids are contiguous (builder rank order), so scoping
+        the scorer is usually a range restriction on the decoded runs;
+        when maintenance (reindex_doc new-doc) has broken contiguity —
+        detected here via hi-lo+1 != n — the repo's sorted id array is
+        cached instead and the scorer filters by exact membership
+        (repo-sized, bounded by the repo's own doc count)."""
         if repo not in self._repo_scope_cache:
+            import numpy as np
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
@@ -120,12 +128,18 @@ class SearchEngine:
             if n == 0:
                 self._repo_scope_cache[repo] = (0, 0.0, 0, -1)
             else:
+                lo = int(pc.min(tbl["doc_id"]).as_py())
+                hi = int(pc.max(tbl["doc_id"]).as_py())
                 self._repo_scope_cache[repo] = (
                     n,
                     float(pc.mean(tbl["doclen"]).as_py() or 0.0),
-                    int(pc.min(tbl["doc_id"]).as_py()),
-                    int(pc.max(tbl["doc_id"]).as_py()),
+                    lo,
+                    hi,
                 )
+                if hi - lo + 1 != n:  # maintenance broke contiguity
+                    self._repo_ids_cache[repo] = np.sort(
+                        tbl["doc_id"].to_numpy().astype(np.uint64)
+                    )
         return self._repo_scope_cache[repo]
 
     def term_repo_df(self, terms: list[str], repo: str) -> dict[str, int]:
@@ -270,11 +284,15 @@ class SearchEngine:
         )
         return runs
 
-    def _doc_range(self, repo: str | None) -> tuple[int, int] | None:
+    def _doc_range(self, repo: str | None):
+        """Scoring scope for one repo: a contiguous (lo, hi) range, or
+        the repo's sorted doc-id array when contiguity was broken by
+        maintenance (TermRuns handles both)."""
         if repo is None:
             return None
         _, _, lo, hi = self.repo_scope(repo)
-        return (lo, hi)
+        ids = self._repo_ids_cache.get(repo)
+        return ids if ids is not None else (lo, hi)
 
     def _search_wand(
         self,

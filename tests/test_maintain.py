@@ -218,6 +218,100 @@ def test_delete_missing_repo_is_noop(spark, corpus_rows, tmp_path):
     assert _term_stats(spark, live) == before
 
 
+def _multi_repo_subset(corpus_rows):
+    """Small corpus spanning >= 3 repos (the fixture is Zipf-skewed, so
+    a plain prefix slice is single-repo)."""
+    by_repo: dict[str, list] = {}
+    for r in corpus_rows:
+        by_repo.setdefault(r[0], []).append(r)
+    repos = sorted(by_repo)
+    return by_repo[repos[0]][:15] + by_repo[repos[1]][:12] + by_repo[repos[2]][:10]
+
+
+def _scoped_results(eng, query, repo, engine):
+    df = eng.search_df(query, k=20, mode="and", engine=engine, repo=repo)
+    return [
+        (int(r["doc_id"]), round(float(r["bm25"]), 6), int(r["tf_sum"]))
+        for r in df.collect()
+    ]
+
+
+def test_new_doc_in_existing_repo_keeps_scoped_search_correct(
+    spark, corpus_rows, tmp_path
+):
+    """ADVICE r2 (high): a brand-new path in an EXISTING repo gets
+    doc_id = global max+1, breaking that repo's contiguous id block.
+    Scoped search must then filter by exact id membership — never score
+    other repos' docs whose ids fall inside the widened [lo, hi]."""
+    rows = _multi_repo_subset(corpus_rows)
+    repos = sorted({r[0] for r in rows})
+    assert len(repos) >= 2
+    first_repo = repos[0]  # widened range would swallow later repos
+    live = _build(spark, rows, tmp_path / "live")
+    rec = reindex_doc(
+        spark, live, repo=first_repo, path="src/added/new_doc.py",
+        content="def addedmarker(): return search index engine data text",
+    )
+    assert rec["new_doc"]
+
+    eng = SearchEngine(spark, live)
+    n, _, lo, hi = eng.repo_scope(first_repo)
+    assert hi - lo + 1 != n  # contiguity really is broken
+    repo_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(live, "doc_stats"))
+        .where(F.col("repo") == first_repo).select("doc_id").collect()
+    }
+    for q in ("index search", "data text"):
+        truth = _scoped_results(eng, q, first_repo, "flat")  # repo-column filter
+        for engine_kind in ("local", "wand"):
+            got = _scoped_results(eng, q, first_repo, engine_kind)
+            assert got == truth, (q, engine_kind)
+            assert all(d in repo_ids for d, _, _ in got)
+    # other repos' scoped search is unaffected
+    other = repos[1]
+    assert _scoped_results(eng, "index search", other, "local") == _scoped_results(
+        eng, "index search", other, "flat"
+    )
+
+
+def test_delete_repo_noncontiguous_matches_fresh_build(
+    spark, corpus_rows, tmp_path
+):
+    """delete_repo on a repo whose ids are no longer contiguous must
+    delete exactly that repo's docs (membership rewrite, not the
+    widened range) — verified against a fresh build of the remainder."""
+    rows = _multi_repo_subset(corpus_rows)
+    repos = sorted({r[0] for r in rows})
+    first_repo = repos[0]
+    live = _build(spark, rows, tmp_path / "live")
+    reindex_doc(
+        spark, live, repo=first_repo, path="src/added/extra.py",
+        content="def extrafn(): return deletedsoon tokens here",
+    )
+    rec = delete_repo(spark, live, first_repo)
+    assert rec["contiguous"] is False
+    assert rec["deleted_docs"] == sum(1 for r in rows if r[0] == first_repo) + 1
+
+    remaining = [r for r in rows if r[0] != first_repo]
+    fresh = _build(spark, remaining, tmp_path / "fresh")
+    assert _postings_by_doc(spark, live) == _postings_by_doc(spark, fresh)
+    assert _term_stats(spark, live) == _term_stats(spark, fresh)
+
+
+def test_delete_repo_flat_pass_has_no_exchange(spark, corpus_rows, tmp_path):
+    """VERDICT r2 #7: the flat-postings survivor pass must be narrow —
+    no repartition/Exchange before the partitioned rewrite."""
+    from searchengine_spark.index.maintain import flat_survivors
+
+    live = _build(spark, corpus_rows[:15], tmp_path / "live")
+    df = flat_survivors(
+        spark, os.path.join(live, "stage1_postings"), corpus_rows[0][0]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Exchange" not in plan
+
+
 def test_mutation_invalidates_resume_checkpoints(spark, corpus_rows, tmp_path):
     rows = corpus_rows[:15]
     live = _build(spark, rows, tmp_path / "live")
