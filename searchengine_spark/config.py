@@ -30,6 +30,13 @@ class IndexConfig:
     n_salts: int = 4
     #: postings per block inside a run (skip-pointer granularity).
     block_size: int = 128
+    #: doc_stats hive-partition count: doc_stats is written partitioned
+    #: by ``ds_part = pmod(doc_id, doc_stats_parts)`` so a single-doc
+    #: re-index (S9) rewrites ONE partition's files instead of the whole
+    #: relation (the reference's one-row UPDATE,
+    #: PageProcessorService.java:34-46).  At 10^12 docs raise this so a
+    #: partition stays executor-sized.
+    doc_stats_parts: int = 16
 
     # --- scoring ----------------------------------------------------------
     bm25_k1: float = 1.2

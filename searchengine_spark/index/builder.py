@@ -330,9 +330,18 @@ def _build_index_staged(
             with_ids.select(*stat_cols)
             .join(doclens, "doc_id", "left")
             .withColumn("doclen", F.coalesce("doclen", F.lit(0)).cast("int"))
+            # hive-partitioned by pmod(doc_id, P) so single-doc re-index
+            # (S9) swaps ONE partition dir instead of rewriting the
+            # whole relation (index/maintain.py reindex_doc)
+            .withColumn(
+                "ds_part",
+                F.pmod(F.col("doc_id"), F.lit(cfg.doc_stats_parts)).cast("int"),
+            )
             .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl"))
         )
-        doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+        doc_stats.write.mode("overwrite").partitionBy("ds_part").parquet(
+            os.path.join(out_dir, "doc_stats")
+        )
         arranged.unpersist()
         stats = obs.get  # filled by the write job — no extra job
         n_docs = int(stats["n"] or 0)
