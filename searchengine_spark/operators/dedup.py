@@ -158,15 +158,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs: (doc_a, doc_b, jaccard) >= threshold.
 
     |A ∩ B| via shingle self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
-    Shuffles on the shingle (self-join) then on the pair (groupBy) —
-    at full scale run only on LSH candidates; standalone here because
-    sf test corpora are small.
+
+    ``candidates`` (columns ``doc_a < doc_b``, e.g. the output of
+    :func:`lsh_candidate_pairs`) is the 100 TB mode: the shingle stream
+    is semi-join-pruned to candidate ids BEFORE the self-join, and only
+    candidate pairs survive to the size join — every relation in the
+    plan is candidate-sized, nothing corpus-sized is broadcast.
+    Standalone mode (``candidates=None``) stays exact-quadratic for
+    test-scale verification; join strategies are left to Catalyst/AQE
+    (no forced broadcast of the per-doc size relation, which grows with
+    the corpus).
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("_id"))
+            .union(cand.select(F.col("doc_b").alias("_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "_id", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (
@@ -174,11 +190,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    if candidates is not None:
+        common = common.join(cand, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -224,13 +224,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """Banded-LSH ANN: exact scoring restricted to rows that share the
-    query's P-bit sign-bucket in >= 1 of B independent bands
-    (candidate recall per neighbor at angle θ: 1 - (1 - p^P)^B,
-    p = 1 - θ/π).  Approximate by design; the scale path when no
-    precomputed IVF cells exist — with the table written partitioned by
-    (band, bucket), each band's probe is partition pruning, and the
-    candidate set is a union of B pruned reads instead of a full scan."""
+    """Banded-LSH ANN, ad-hoc form: exact scoring restricted to rows
+    that share the query's P-bit sign-bucket in >= 1 of B independent
+    bands (candidate recall per neighbor at angle θ: 1 - (1 - p^P)^B,
+    p = 1 - θ/π).  Approximate by design.
+
+    This form evaluates B x P hyperplane dots over a FULL scan — fine
+    for one-off queries, wrong as the serving path at 100 TB.  The
+    scale path is :func:`write_lsh_index` + :func:`lsh_topk_indexed`:
+    buckets precomputed once at write time, each probe a
+    partition-pruned read (plan-asserted in tests)."""
     dim = len(query)
     cond = None
     for band in range(n_bands):
@@ -238,3 +241,94 @@ def lsh_topk(
         hit = lsh_bucket(F.col(vec_col), planes) == _query_bucket(query, planes)
         cond = hit if cond is None else cond | hit
     return cosine_topk(df.where(cond), query, k, id_col, vec_col, exclude_id)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    out_path: str,
+    n_planes: int = 4,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Write the (band, bucket)-partitioned ANN store: B rows per
+    vector, hive-partitioned by (band, bucket), so a query probe reads
+    B pruned partitions instead of scanning the table.
+
+    Storage is B x the vector payload — the classic LSH index
+    trade-off (replication buys pruned probes; at 100 TB pick B and P
+    so B/2^P of the corpus per probe-set is executor-friendly).  The
+    plane seeds/shape are pinned in a sidecar so probes rebuild the
+    exact same hyperplanes.
+    """
+    import json
+    import os
+
+    dim = len(df.select(vec_col).first()[0])
+    banded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket(
+                            F.col(vec_col),
+                            random_hyperplanes(dim, n_planes, seed + 1000 * band),
+                        ).alias("bucket"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+    banded.write.mode("overwrite").partitionBy("band", "bucket").parquet(out_path)
+    meta = {
+        "n_planes": n_planes,
+        "n_bands": n_bands,
+        "seed": seed,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(out_path, "_lsh_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Banded-LSH ANN over a :func:`write_lsh_index` store — the scale
+    path: the query's per-band buckets are computed driver-side, the
+    scan carries an OR of (band, bucket) partition filters (Catalyst
+    prunes to exactly B directories), candidates are deduped by id and
+    exact-scored.  Same candidate set — and therefore same results —
+    as :func:`lsh_topk` with the same (P, B, seed)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cond = None
+    for band in range(meta["n_bands"]):
+        planes = random_hyperplanes(
+            meta["dim"], meta["n_planes"], meta["seed"] + 1000 * band
+        )
+        hit = (F.col("band") == band) & (
+            F.col("bucket") == _query_bucket(query, planes)
+        )
+        cond = hit if cond is None else cond | hit
+    cand = (
+        spark.read.parquet(index_path)
+        .where(cond)  # partition filters only — plan-asserted in tests
+        .dropDuplicates([id_col])
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col, exclude_id)

@@ -169,14 +169,15 @@ def test_cosine_neardup_bucketed_subset_of_exact(emb_df, emb_np):
     assert got <= want  # blocking may drop pairs, never invent them
 
 
-def test_cosine_neardup_bucketed_full_recall_at_enough_bands(emb_df, emb_np):
-    """The q_embed_neardup configuration (P=1, B=16) has measured
-    recall 1.0 on the fixture — equal to exact all-pairs."""
+@pytest.mark.parametrize("bands", [12, 16])
+def test_cosine_neardup_bucketed_full_recall_at_enough_bands(emb_df, emb_np, bands):
+    """Full recall (== exact all-pairs) at both B=12 — the shipped
+    q_embed_neardup configuration (__spark_entry__.py) — and B=16."""
     want = _exact_pairs(emb_np, 0.35)
     got = {
         (r["id_a"], r["id_b"])
         for r in S.cosine_neardup_pairs(
-            emb_df, threshold=0.35, block_planes=1, block_bands=16
+            emb_df, threshold=0.35, block_planes=1, block_bands=bands
         ).collect()
     }
     assert got == want and len(want) > 100
@@ -233,6 +234,93 @@ def test_ivf_label_partition_pruning(spark, emb_df, tmp_path):
         ).collect()
     ]
     assert [r["vec_id"] for r in topk.collect()] == want
+
+
+def test_lsh_indexed_store_pruning_and_equality(spark, emb_df, emb_np, tmp_path):
+    """VERDICT r2 #6: the (band, bucket)-partitioned ANN store — the
+    probe plan must show partition filters on band/bucket (pruned read,
+    not a full scan), and results must equal the scan-based lsh_topk at
+    the same (P, B, seed), which is itself the exact top-10 here
+    (measured recall 1.0 at P=2, B=8)."""
+    p = str(tmp_path / "lsh_store")
+    meta = S.write_lsh_index(emb_df, p, n_planes=2, n_bands=8)
+    assert meta["dim"] == len(emb_df.select("embedding").first()[0])
+    row = emb_df.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+
+    topk = S.lsh_topk_indexed(spark, p, q, k=10, exclude_id=0)
+    plan = topk._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    part_filters = plan.split("PartitionFilters", 1)
+    assert len(part_filters) == 2, "probe scan must carry partition filters"
+    assert "band" in part_filters[1][:400] and "bucket" in part_filters[1][:400]
+
+    got = [(r["vec_id"], r["cos"]) for r in topk.collect()]
+    scan = [
+        (r["vec_id"], r["cos"])
+        for r in S.lsh_topk(
+            emb_df, q, k=10, n_planes=2, n_bands=8, exclude_id=0
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in S.cosine_topk(emb_df, q, k=10, exclude_id=0).collect()
+    ]
+    assert got == scan == exact
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard over LSH candidates (the 100 TB verification pipeline)
+# ---------------------------------------------------------------------------
+
+def test_jaccard_candidates_pipeline(spark, docs_df):
+    """VERDICT r2 #5: ngram_jaccard_pairs(candidates=...) must equal
+    the exact standalone result restricted to the candidate set (the
+    verify stage can only confirm or reject candidates, never invent
+    pairs), with candidate-sized relations only (no forced broadcast)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (100, base),
+        (101, base + " lambda"),
+        (102, base.replace("delta", "replaced")),
+        (103, "wholly unrelated text tokens with nothing shared here at all"),
+    ]
+    df = docs_df.unionByName(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    cand = D.lsh_candidate_pairs(df, n_hashes=8, shingle_n=3, bands=4)
+    cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (100, 101) in cand_pairs  # the planted near-dups are caught
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.2, shingle_n=3, candidates=cand
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.2, shingle_n=3).collect()
+    }
+    want = {p: j for p, j in exact.items() if p in cand_pairs}
+    assert got == want and (100, 101) in got
+
+
+def test_jaccard_candidates_mode_forces_no_broadcast(spark, docs_df):
+    """With forced-broadcast disabled the candidates-mode plan must not
+    contain a BroadcastExchange — proof no broadcast HINT remains (the
+    r2 finding: the per-doc size relation, which grows with the corpus,
+    was hint-broadcast)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = D.lsh_candidate_pairs(docs_df, n_hashes=8, shingle_n=3, bands=4)
+        out = D.ngram_jaccard_pairs(
+            docs_df, threshold=0.2, shingle_n=3, candidates=cand
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 # ---------------------------------------------------------------------------
