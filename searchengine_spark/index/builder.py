@@ -226,6 +226,34 @@ def _footer_rowcounts(path: str) -> dict[str, int]:
     return counts
 
 
+def write_build_status(
+    out_dir: str, status: str, error: str | None = None
+) -> dict:
+    """Persist the build state machine (reference ``site.status`` —
+    INDEXING/INDEXED/FAILED with status_time and last_error,
+    ``model/Status.java:3-7``, ``IndexingServiceImpl.java:598-608``) to
+    ``_checkpoints/build.json``; ``statistics()`` reports it live."""
+    import datetime
+
+    payload = {
+        "status": status,
+        "status_time": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "last_error": error,
+    }
+    os.makedirs(os.path.join(out_dir, "_checkpoints"), exist_ok=True)
+    with open(os.path.join(out_dir, "_checkpoints", "build.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    return payload
+
+
+def read_build_status(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, "_checkpoints", "build.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def _manifest_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, "_checkpoints", f"{stage}.json")
 
@@ -267,10 +295,18 @@ def build_index(
     spark.sparkContext.setJobGroup(
         BUILD_JOB_GROUP, f"build_index {out_dir}", interruptOnCancel=True
     )
+    os.makedirs(out_dir, exist_ok=True)
+    write_build_status(out_dir, "INDEXING")
     try:
-        return _build_index_staged(
+        metrics = _build_index_staged(
             spark, docs, out_dir, cfg, source, force, store_content
         )
+    except BaseException as exc:
+        write_build_status(out_dir, "FAILED", error=str(exc)[:500])
+        raise
+    else:
+        write_build_status(out_dir, "INDEXED")
+        return metrics
     finally:
         spark.sparkContext._jsc.clearJobGroup()  # noqa: SLF001
 

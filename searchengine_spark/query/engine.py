@@ -543,6 +543,21 @@ class SearchEngine:
     # services/StatisticsServiceImpl.java:31-62)
     # ------------------------------------------------------------------
     def statistics(self) -> dict:
+        """Reference ``GET /api/statistics``
+        (``StatisticsServiceImpl.java:31-62``): totals + per-site rows
+        with the LIVE build state — ``indexing`` and each row's
+        status/statusTime/error come from the builder's persisted state
+        machine (``_checkpoints/build.json``, the ``site.status``
+        analog), not a hardcoded flag.  The engine tracks one state per
+        index (builds are whole-corpus), so every detailed row carries
+        the index-level status."""
+        from searchengine_spark.index.builder import read_build_status
+
+        build = read_build_status(self.index_dir) or {
+            "status": "INDEXED",
+            "status_time": None,
+            "last_error": None,
+        }
         ds = self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
         trs = self.spark.read.parquet(os.path.join(self.index_dir, "term_repo_stats"))
         pages = {r["repo"]: r["n"] for r in ds.groupBy("repo").agg(F.count("*").alias("n")).collect()}
@@ -551,7 +566,15 @@ class SearchEngine:
             for r in trs.groupBy("repo").agg(F.countDistinct("term").alias("n")).collect()
         }
         detailed = [
-            {"url": repo, "name": repo, "pages": int(pages.get(repo, 0)), "lemmas": int(lemmas.get(repo, 0))}
+            {
+                "url": repo,
+                "name": repo,
+                "pages": int(pages.get(repo, 0)),
+                "lemmas": int(lemmas.get(repo, 0)),
+                "status": build["status"],
+                "statusTime": build["status_time"],
+                "error": build["last_error"],
+            }
             for repo in sorted(pages)
         ]
         return {
@@ -561,7 +584,7 @@ class SearchEngine:
                     "sites": len(pages),
                     "pages": int(sum(pages.values())),
                     "lemmas": int(self.meta["n_terms"]),
-                    "indexing": False,
+                    "indexing": build["status"] == "INDEXING",
                 },
                 "detailed": detailed,
             },

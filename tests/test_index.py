@@ -141,6 +141,41 @@ def test_statistics_match_oracle(engine, oracle_index):
         assert item["lemmas"] == per_repo_lemmas[item["url"]]
 
 
+def test_statistics_reports_live_build_status(engine):
+    """VERDICT r2 #10: ``indexing`` and per-site status come from the
+    builder's persisted state machine (reference site.status), not a
+    hardcoded flag: INDEXING mid-build -> True, INDEXED after -> False."""
+    from searchengine_spark.index.builder import write_build_status
+
+    st = engine.statistics()["statistics"]
+    assert st["total"]["indexing"] is False
+    assert all(i["status"] == "INDEXED" for i in st["detailed"])
+    assert all(i["statusTime"] for i in st["detailed"])
+    # simulate the mid-build state build_index writes before stage 1
+    write_build_status(engine.index_dir, "INDEXING")
+    try:
+        st = engine.statistics()["statistics"]
+        assert st["total"]["indexing"] is True
+        assert all(i["status"] == "INDEXING" for i in st["detailed"])
+    finally:
+        write_build_status(engine.index_dir, "INDEXED")
+
+
+def test_failed_build_records_failed_status(spark, tmp_path):
+    """A build that dies must leave status=FAILED with last_error (the
+    reference's site FAILED + last_error path)."""
+    import pytest as _pytest
+
+    from searchengine_spark.index.builder import read_build_status
+
+    bad = spark.createDataFrame([("r", "p")], "repo string, path string")
+    out = str(tmp_path / "bad")
+    with _pytest.raises(Exception):
+        build_index(spark, bad, out, CFG, source="bad")
+    st = read_build_status(out)
+    assert st["status"] == "FAILED" and st["last_error"]
+
+
 def test_meta_contents(index_dir, oracle_index):
     meta = json.load(open(os.path.join(index_dir, "meta.json")))
     assert meta["n_docs"] == oracle_index.n_docs
