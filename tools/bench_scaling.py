@@ -229,16 +229,20 @@ def run_parent(n_files: int, out_md: str, repeats: int = 3,
     machine, and interleaving decorrelates slow phases from either
     level.  Each child is a fresh process (one SparkContext per JVM).
 
-    ``min_probe_ratio``: if > 0 and the pre-flight host probe shows the
-    hypervisor delivering less than this lo->hi CPU ratio, abort
-    without burning 20+ minutes on a measurement the hardware has
-    already decided (use with a retry loop at quieter hours).
+    ``min_probe_ratio``: if > 0, every child is probe-gated — before
+    launching, the parent re-measures the host's lo->hi CPU delivery
+    and WAITS (up to ~9 min per child) until the hypervisor delivers at
+    least this ratio, so walls are only measured in windows where the
+    hardware can physically show the scaling.
     """
     probe = host_probe(lo, hi)
     print(f"host probe: {probe}")
     if min_probe_ratio and probe["probe_ratio"] < min_probe_ratio:
-        raise SystemExit(
-            f"HOST_CAPPED probe_ratio={probe['probe_ratio']} < {min_probe_ratio}"
+        print(
+            f"pre-flight probe {probe['probe_ratio']} < {min_probe_ratio}:"
+            " proceeding — each child gates on its own probe and waits"
+            " for a clean window",
+            flush=True,
         )
     gen = subprocess.run(
         [sys.executable, __file__, "--gen", "--files", str(n_files)],
@@ -254,10 +258,22 @@ def run_parent(n_files: int, out_md: str, repeats: int = 3,
     for i, cores in enumerate(order):
         # per-child mini-probe: the hypervisor's delivery flaps minute
         # to minute, so each wall is recorded WITH the conditions it
-        # ran under (min-of-N then naturally selects clean windows)
+        # ran under (min-of-N then naturally selects clean windows).
+        # With --min-probe-ratio the child WAITS for a clean window
+        # (up to ~12 min) instead of burning a doomed measurement.
         from tools.cpu_probe import measure
 
         child_probe = round(measure(hi, 3.0) / measure(lo, 3.0), 2)
+        waits = 0
+        while min_probe_ratio and child_probe < min_probe_ratio and waits < 36:
+            waits += 1
+            print(
+                f"  gate: probe {child_probe:.2f} < {min_probe_ratio}"
+                f" — waiting for a clean window ({waits})",
+                flush=True,
+            )
+            time.sleep(15)
+            child_probe = round(measure(hi, 3.0) / measure(lo, 3.0), 2)
         proc = subprocess.run(
             [sys.executable, __file__, "--child", str(cores),
              "--files", str(n_files)],
@@ -360,29 +376,25 @@ generation, bit-identical at any parallelism)
 | local[{hi}] ({hi // lo}N) | {results[hi]["n_files"]} | {t_hi} | {results[hi]["files_per_sec"]} | {cpu_hi} |
 
 **Wall-clock scaling efficiency** = (T_N / T_{hi // lo}N) / {hi // lo} = ({t_lo} / {t_hi}) / {hi // lo} =
-**{eff:.3f}** (target >= 0.8: {"PASS — and see the host ceiling below"
-    if eff >= 0.8 else
-    "below target ON THIS HYPERVISOR — read the two quota-independent"
-    " measurements below, which are the meaningful ones on a"
-    " burst-credited guest"}).
+**{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL on this guest"}).
+This wall-clock number is the HEADLINE result for the north rule; the
+sections below are context for reading it against the hardware it ran
+on, not substitutes for it.
 
-## CPU-seconds conservation (hypervisor-quota-independent)
+## CPU-seconds conservation (supporting signal — necessary, not sufficient)
 
 Build-phase CPU (gateway JVM + python workers, /proc tree accounting
 snapshotted around the build — session/JVM startup, which a cluster
 pays once per executor lifetime, excluded): **{cpu_lo} CPU-s at
-local[{lo}] vs {cpu_hi} CPU-s at local[{hi}]** -> conservation
-efficiency = cpu_N / cpu_{hi // lo}N =
-**{cpu_eff:.2f}** {"(PASS >= 0.8)" if cpu_eff >= 0.8 else "(< 0.8)"}.
-This is the quota-independent form of the scaling claim: given
-{hi // lo}x the parallel workers the engine needs only
-{(1 / cpu_eff if cpu_eff else 0):.2f}x the total CPU work (no
-super-linear parallel overhead, no serialization bottleneck), so on
-hardware that actually GRANTS the {hi // lo}x cores — a real
-{hi // lo}N-executor cluster — wall-clock speedup is
-{hi // lo} x {cpu_eff:.2f} = {hi / lo * cpu_eff:.1f}x =
-**{cpu_eff:.2f} efficiency**.  Wall-clock on THIS guest cannot show
-that (next section).
+local[{lo}] vs {cpu_hi} CPU-s at local[{hi}]** -> conservation =
+cpu_N / cpu_{hi // lo}N = **{cpu_eff:.2f}**.  Conservation ~1.0 shows
+the engine adds no super-linear parallel overhead (total work does not
+grow with worker count).  It is a NECESSARY condition for scaling, not
+a sufficient one: a serialized stage consumes identical CPU-seconds at
+any worker count while wall-clock stops improving, so conservation
+alone cannot prove the >= 0.8 bar — only the wall-clock number above
+can.  It IS the signal that distinguishes "the hypervisor withheld
+cores" from "the engine wasted them" when the two disagree.
 
 ## Host conditions (the wall-clock ceiling on this guest)
 
@@ -391,17 +403,14 @@ A pure-CPU burn with zero I/O and zero shared state
 pre-flight local[{lo}]->local[{hi}] ratio **{probe["probe_ratio"]:.2f}x**
 (perfect hardware = {hi // lo}.0x); per-child mini-probes during this
 run ranged {min(probes_seen) if probes_seen else 0:.2f}x-{max(probes_seen) if probes_seen else 0:.2f}x;
-cumulative steal {probe["steal_pct_cum"]:.1f}% of guest CPU.  The
-guest is burst-credited: low-parallelism jobs run at full per-core
-speed while {hi}-worker jobs are rationed to ~the same aggregate, so
-NO {hi // lo}x-parallelism job — including the raw numpy burn — can
-measure {hi // lo}x here.  **Host-normalized efficiency** (engine
-speedup / pre-flight host-delivered ratio) = **{norm:.2f}** (>= 1.0 =
-the engine extracted at least the host's own pure-CPU ceiling).
-Same-code quiet-window wall pair previously recorded: 139.7 s ->
-36.4 s = 3.84x = **0.96** at 50k files (git history, round-2 morning).
-See SCALE.md §9 for the methodology and all four documented VM
-artifacts.
+cumulative steal {probe["steal_pct_cum"]:.1f}% of guest CPU.  When the
+probe ratio is itself below {hi // lo}x, no {hi // lo}x-parallelism
+job — including the raw numpy burn — can measure {hi // lo}x in that
+window; `--min-probe-ratio` gates runs on this.  **Host-normalized
+efficiency** (engine speedup / pre-flight host-delivered ratio) =
+**{norm:.2f}** (>= 1.0 = the engine extracted at least the host's own
+pure-CPU ceiling).  See SCALE.md §9 for the methodology and the
+documented VM artifacts.
 
 Walls/CPU are minima over ALL recorded runs of this configuration
 ({len(all_runs)} children: this invocation's {repeats} interleaved
@@ -440,8 +449,9 @@ def main() -> None:
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent / "BENCH" / "BASELINE.md"))
     ap.add_argument(
         "--min-probe-ratio", type=float, default=0.0,
-        help="abort (exit HOST_CAPPED) if the pre-flight host probe "
-        "shows less than this lo->hi CPU ratio",
+        help="gate every child on a fresh host probe: wait for a "
+        "window where the hypervisor delivers at least this lo->hi "
+        "CPU ratio before measuring",
     )
     args = ap.parse_args()
     if args.gen:
