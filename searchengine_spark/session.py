@@ -59,6 +59,33 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    # Optional Iceberg runtime (lakehouse deployment): set
+    # SPARK_GRAFT_ICEBERG=org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver>
+    # (any Maven coordinate resolvable on the cluster) and the session
+    # registers a hadoop-type catalog `ice` at $SPARK_GRAFT_ICEBERG_WAREHOUSE.
+    # The engine needs nothing Iceberg-specific beyond this —
+    # load_corpus() reads `ice.db.table` through the same
+    # spark.read.table seam it uses for any catalog table.  This sandbox
+    # ships no Iceberg jars (and no network to fetch them), so the knob
+    # stays off here; the catalog-table seam itself is exercised by
+    # tests/test_corpus_distributed.py::test_load_corpus_catalog_table.
+    iceberg_pkg = os.environ.get("SPARK_GRAFT_ICEBERG")
+    if iceberg_pkg:
+        warehouse = os.environ.get(
+            "SPARK_GRAFT_ICEBERG_WAREHOUSE", "/tmp/iceberg-warehouse"
+        )
+        builder = (
+            builder.config("spark.jars.packages", iceberg_pkg)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(
+                "spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.ice.type", "hadoop")
+            .config("spark.sql.catalog.ice.warehouse", warehouse)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -60,3 +60,35 @@ class TestDistributedGenerator:
         assert sum(r["count"] for r in top) > total * 0.05
         assert toks.where(F.col("t").rlike("^sym[0-9]{4}$")).count() > 0
         assert toks.where(F.col("t").rlike("_")).count() > 0
+
+
+def test_load_corpus_catalog_table(spark, corpus_rows, tmp_path):
+    """The catalog-table input seam (SURVEY.md §1.3 Iceberg status):
+    load_corpus(spark, "<table name>") must read any catalog table —
+    exactly how an Iceberg table is consumed on a lakehouse deployment
+    (same spark.read.table call; Iceberg's pruning engages beneath the
+    identical plan).  Exercised here against the built-in catalog."""
+    from searchengine_spark.sources.corpus import CORPUS_COLUMNS, load_corpus
+
+    docs = spark.createDataFrame(corpus_rows[:12], schema=CORPUS_COLUMNS)
+    spark.sql("DROP TABLE IF EXISTS corpus_seam_test")
+    docs.write.saveAsTable("corpus_seam_test")
+    try:
+        got = load_corpus(spark, "corpus_seam_test")
+        assert got.columns == CORPUS_COLUMNS
+        assert got.count() == 12
+        assert {r["repo"] for r in got.select("repo").distinct().collect()} == {
+            r[0] for r in corpus_rows[:12]
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_seam_test")
+
+
+def test_iceberg_runtime_optional_knob(spark):
+    """SPARK_GRAFT_ICEBERG is the documented lakehouse knob; without
+    Iceberg jars on the classpath (this sandbox) the session must work
+    with the knob unset, and an `ice` catalog must simply be absent."""
+    import os
+
+    assert not os.environ.get("SPARK_GRAFT_ICEBERG")
+    assert spark.conf.get("spark.sql.catalog.ice", None) is None
