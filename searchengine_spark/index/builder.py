@@ -375,9 +375,14 @@ def _build_index_staged(
             )
             .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl"))
         )
-        doc_stats.write.mode("overwrite").partitionBy("ds_part").parquet(
-            os.path.join(out_dir, "doc_stats")
-        )
+        # repartition on the partition column: one task per ds_part dir
+        # -> one file per dir.  Without it every task opens P writers
+        # and the relation shatters into tasks x P tiny files, which
+        # the driver-side pyarrow point reads (repo_scope/_doc_meta,
+        # the query p50 path) then pay for on every request.
+        doc_stats.repartition(cfg.doc_stats_parts, F.col("ds_part")).write.mode(
+            "overwrite"
+        ).partitionBy("ds_part").parquet(os.path.join(out_dir, "doc_stats"))
         arranged.unpersist()
         stats = obs.get  # filled by the write job — no extra job
         n_docs = int(stats["n"] or 0)

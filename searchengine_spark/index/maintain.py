@@ -483,7 +483,11 @@ def reindex_doc(
         keep_part = ds.where(
             (F.col("ds_part") == p) & (F.col("doc_id") != doc_id)
         )
-        keep_part.unionByName(stat_df).write.partitionBy("ds_part").parquet(tmp)
+        # coalesce(1): the upsert touches one partition's rows — keep it
+        # one file so driver-side point reads stay cheap
+        keep_part.unionByName(stat_df).coalesce(1).write.partitionBy(
+            "ds_part"
+        ).parquet(tmp)
         _swap_subdirs(tmp, ds_path, [f"ds_part={p}"])
     else:  # pre-partitioning index layout: full rewrite
         ds.where(F.col("doc_id") != doc_id).unionByName(stat_df).write.parquet(tmp)
