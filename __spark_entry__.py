@@ -325,6 +325,25 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_lsh_indexed(spark, sf_dir):
+    """Banded-LSH ANN through the (band, bucket)-partitioned store —
+    the 100 TB serving path: buckets precomputed at write time, each
+    probe an OR of (band, bucket) PARTITION FILTERS (B pruned dirs, not
+    a scan; plan-asserted in tests/test_dedup_similarity.py).  Same
+    (P, B, seed) as q_ann_lsh, so the exact-cosine SQL oracle
+    hash-matches at the measured recall 1.0."""
+    import hashlib
+    import os
+
+    store = "/tmp/lsh_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if not os.path.exists(os.path.join(store, "_lsh_meta.json")):
+        SIM.write_lsh_index(
+            _read(spark, sf_dir, "embeddings"), store, n_planes=2, n_bands=8
+        )
+    vec, _ = _query_vec(spark, sf_dir)
+    return SIM.lsh_topk_indexed(spark, store, vec, k=10, exclude_id=0)
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs >= 0.35 via the BUCKETED
     path (banded hyperplane blocking, 1 plane x 12 bands — sized so
@@ -575,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine": q_ann_cosine,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_embed_neardup": q_embed_neardup,
         "q_media_features": q_media_features,
         "q_frame_schedule": q_frame_schedule,
@@ -846,6 +866,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
         """,
         "q_ann_lsh": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "q_ann_lsh_indexed": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
