@@ -70,6 +70,27 @@ class SearchEngine:
         #: repos whose doc ids are NOT a contiguous block (maintenance
         #: added docs after the build) -> sorted id array for scoping
         self._repo_ids_cache: dict[str, "object"] = {}
+        #: pyarrow.dataset objects memoized per relation: dataset
+        #: discovery re-lists the directory tree on every construction,
+        #: which the p50 path would otherwise pay per request.  An
+        #: engine instance is a read snapshot of the index — after a
+        #: maintenance mutation, open a fresh SearchEngine (meta is
+        #: cached at init the same way).
+        self._pads_cache: dict[str, "object"] = {}
+
+    def _dataset(self, rel: str, hive: bool = False):
+        """Memoized pyarrow dataset over an index relation dir."""
+        key = f"{rel}:{hive}"
+        if key not in self._pads_cache:
+            import pyarrow.dataset as pads
+
+            kwargs = {"format": "parquet"}
+            if hive:
+                kwargs["partitioning"] = "hive"
+            self._pads_cache[key] = pads.dataset(
+                os.path.join(self.index_dir, rel), **kwargs
+            )
+        return self._pads_cache[key]
 
     # ------------------------------------------------------------------
     # planning
@@ -87,10 +108,7 @@ class SearchEngine:
 
         if not terms:
             return {}
-        ds = pads.dataset(
-            os.path.join(self.index_dir, "term_stats"), format="parquet"
-        )
-        tbl = ds.to_table(
+        tbl = self._dataset("term_stats").to_table(
             filter=pads.field("term").isin(terms),
             columns=["term", "df", "cf", "bucket"],
         )
@@ -118,10 +136,7 @@ class SearchEngine:
             import pyarrow.compute as pc
             import pyarrow.dataset as pads
 
-            ds = pads.dataset(
-                os.path.join(self.index_dir, "doc_stats"), format="parquet"
-            )
-            tbl = ds.to_table(
+            tbl = self._dataset("doc_stats").to_table(
                 filter=pads.field("repo") == repo, columns=["doc_id", "doclen"]
             )
             n = tbl.num_rows
@@ -150,10 +165,7 @@ class SearchEngine:
 
         if not terms:
             return {}
-        ds = pads.dataset(
-            os.path.join(self.index_dir, "term_repo_stats"), format="parquet"
-        )
-        tbl = ds.to_table(
+        tbl = self._dataset("term_repo_stats").to_table(
             filter=pads.field("term").isin(terms) & (pads.field("repo") == repo),
             columns=["term", "df"],
         )
@@ -350,9 +362,8 @@ class SearchEngine:
 
         terms = [t for t, _, _ in plan.ordered]
         buckets = sorted({info3[t][2] for t in terms if t in info3})
-        dataset = pads.dataset(self._runs_path, format="parquet", partitioning="hive")
         filt = (pads.field("bucket").isin(buckets)) & (pads.field("term").isin(terms))
-        tbl = dataset.to_table(filter=filt)
+        tbl = self._dataset("postings", hive=True).to_table(filter=filt)
         pdf = tbl.to_pandas()
         n_docs, avgdl = scope
         idfs = self._idf_map(plan, n_docs)
@@ -478,13 +489,12 @@ class SearchEngine:
         if engine == "local":
             import pyarrow.dataset as pads
 
-            ds = pads.dataset(
-                self._flat_path, format="parquet", partitioning="hive"
-            )
             filt = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
             if repo is not None:
                 filt = filt & (pads.field("repo") == repo)
-            pdf = ds.to_table(filter=filt, columns=["doc_id", "term"]).to_pandas()
+            pdf = self._dataset("stage1_postings", hive=True).to_table(
+                filter=filt, columns=["doc_id", "term"]
+            ).to_pandas()
             if pdf.empty:
                 return 0
             if mode == "and":
@@ -510,9 +520,7 @@ class SearchEngine:
         content column entirely."""
         import pyarrow.dataset as pads
 
-        ds = pads.dataset(
-            os.path.join(self.index_dir, "doc_stats"), format="parquet"
-        )
+        ds = self._dataset("doc_stats")
         cols = [f.name for f in ds.schema]
         if not need_content and "content" in cols:
             cols = [c for c in cols if c != "content"]
