@@ -287,6 +287,22 @@ def q_simhash_near(spark, sf_dir):
     )
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: SimHash near-dup pairs (Hamming
+    <= 3) resolved into connected components (node -> min-id component
+    rep) via alternating large-star/small-star contraction — O(log n)
+    rounds, no neighbor lists materialized.  The keep-policy stage a
+    dedup pipeline runs after pair emission."""
+    pairs = D.simhash_near_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, portable=True,
+    )
+    return D.connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = (
         _read(spark, sf_dir, "embeddings")
@@ -591,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_simhash": q_simhash,
         "q_simhash_near": q_simhash_near,
+        "q_near_dup_components": q_near_dup_components,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -864,6 +881,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
             FROM sims l JOIN sims r ON l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        """,
+        "q_near_dup_components": f"""
+            WITH RECURSIVE toks AS ({_TOKS}),
+            {_SIMHASH_CTE},
+            pairs AS (SELECT l.doc_id AS a, r.doc_id AS b
+                      FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+                      WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+            und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, lab) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            )
+            SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node
         """,
         "q_ann_lsh": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -208,6 +208,117 @@ def ngram_jaccard_pairs(
     )
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).where(F.col("u") != F.col("v")).distinct()
+
+
+def _min_nbr(e: DataFrame) -> DataFrame:
+    """m(u) = min(Γ(u) ∪ {u}) — one groupBy, no neighbor lists
+    materialized (hub nodes stay a single aggregate row)."""
+    return (
+        e.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    # hash summed as decimal(38,0): a long sum overflows under ANSI
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair relation:
+    (node, component) with component = min node id of the component.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds, each round two joins + a groupBy over a SHRINKING
+    edge set; no neighbor lists are collected, so hub nodes (a dup
+    cluster of millions) never materialize a fat row.  This is the
+    resolution stage the pair-emitting dedup operators feed: near-dup
+    pairs -> clusters -> keep one canonical doc per cluster.
+
+    Driver loop = the standard Spark iterative-algorithm pattern; the
+    fixpoint check is a 1-row checksum aggregate per round pair.
+    ``max_rounds`` is a safety bound (25 rounds covers > 2^25 nodes).
+    """
+    e = _symmetrize(
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+    ).localCheckpoint(eager=True)  # pin: the pair-generation lineage
+    # (e.g. a SimHash banding join) must not re-evaluate every round
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u re-links to m(u)
+        m = _min_nbr(e)
+        ls = (
+            e.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = _symmetrize(ls)
+        # small-star: neighbors v <= u (and u itself) re-link to m(u)
+        m = _min_nbr(e)
+        ss = (
+            e.join(m, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e = _symmetrize(ss).localCheckpoint(eager=True)  # cut lineage per round
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    labels = (
+        e.groupBy("u").agg(F.min("v").alias("_mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("_mv"), F.col("u")).alias("component"),
+        )
+    )
+    # nodes whose component collapsed to themselves (roots / isolated
+    # after contraction) keep their own id
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(node, component, is_canonical): near-dup pairs resolved into
+    clusters with the min-id member as the canonical survivor — the
+    keep-policy stage of a dedup pipeline (anti-join the non-canonical
+    ids against the corpus to drop duplicates)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.withColumn("is_canonical", F.col("node") == F.col("component"))
+
+
 #: bit width of the engine-portable simhash variant (md5-prefix token
 #: hash carries 60 meaningful bits)
 SIMHASH_PORTABLE_BITS = 60

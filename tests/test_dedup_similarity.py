@@ -324,6 +324,67 @@ def test_jaccard_candidates_mode_forces_no_broadcast(spark, docs_df):
 
 
 # ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster resolution)
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges):
+    """Brute-force union-find oracle: {node: min-id-of-component}."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph + a 41-node chain (forces multiple contraction
+    rounds) — large-star/small-star must agree with union-find."""
+    rng = np.random.default_rng(5)
+    edges = set()
+    for _ in range(300):
+        a, b = int(rng.integers(0, 120)), int(rng.integers(0, 120))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(1000 + i, 1001 + i) for i in range(40)}  # long chain
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df).collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.connected_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
+    got = {(r["node"], r["component"]) for r in D.connected_components(one).collect()}
+    assert got == {(3, 3), (7, 3)}
+
+
+def test_duplicate_clusters_canonical_flag(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {
+        r["node"]: (r["component"], r["is_canonical"])
+        for r in D.duplicate_clusters(df).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+# ---------------------------------------------------------------------------
 # MinHash numeric-prefix ordering parity
 # ---------------------------------------------------------------------------
 
