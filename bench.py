@@ -48,6 +48,7 @@ HEADLINE = [
     "q_simhash",
     "q_ann_cosine",
     "q_ann_lsh",
+    "q_ann_lsh_indexed",
     "q_token_counts",
     "q_quality",
     "q_langid",
