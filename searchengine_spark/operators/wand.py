@@ -116,7 +116,10 @@ class TermRuns:
                 m = self._ids[pos] == d
             return d[m], t[m], l[m]
         lo, hi = self.doc_range
-        m = (d >= np.uint64(lo)) & (d <= np.uint64(hi))
+        if hi < lo:  # empty scope; uint64(hi) would wrap to 2^64-1
+            m = np.zeros(d.shape, dtype=bool)
+        else:
+            m = (d >= np.uint64(lo)) & (d <= np.uint64(hi))
         return d[m], t[m], l[m]
 
     def block_bounds(self) -> float:
