@@ -550,6 +550,28 @@ class SearchEngine:
     # statistics (reference GET /api/statistics,
     # services/StatisticsServiceImpl.java:31-62)
     # ------------------------------------------------------------------
+    def statistics_df(self) -> DataFrame:
+        """Per-repo statistics as a DataFrame — the 10^8-repo form of
+        :meth:`statistics` (which collects per-repo rows to the driver
+        for the reference's small-site-list response shape; SCALE.md
+        §8).  Columns: (repo, pages, lemmas)."""
+        ds = self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+        trs = self.spark.read.parquet(
+            os.path.join(self.index_dir, "term_repo_stats")
+        )
+        pages = ds.groupBy("repo").agg(F.count("*").alias("pages"))
+        lemmas = trs.groupBy("repo").agg(
+            F.countDistinct("term").alias("lemmas")
+        )
+        return (
+            pages.join(lemmas, "repo", "left")
+            .select(
+                "repo",
+                "pages",
+                F.coalesce("lemmas", F.lit(0)).cast("long").alias("lemmas"),
+            )
+        )
+
     def statistics(self) -> dict:
         """Reference ``GET /api/statistics``
         (``StatisticsServiceImpl.java:31-62``): totals + per-site rows

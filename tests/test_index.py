@@ -141,6 +141,20 @@ def test_statistics_match_oracle(engine, oracle_index):
         assert item["lemmas"] == per_repo_lemmas[item["url"]]
 
 
+def test_statistics_df_matches_dict_form(engine):
+    """statistics_df (the 10^8-repo DataFrame form, SCALE.md §8) must
+    agree row-for-row with the reference-shaped dict response."""
+    detailed = {
+        i["url"]: (i["pages"], i["lemmas"])
+        for i in engine.statistics()["statistics"]["detailed"]
+    }
+    got = {
+        r["repo"]: (r["pages"], r["lemmas"])
+        for r in engine.statistics_df().collect()
+    }
+    assert got == detailed
+
+
 def test_statistics_reports_live_build_status(engine):
     """VERDICT r2 #10: ``indexing`` and per-site status come from the
     builder's persisted state machine (reference site.status), not a
