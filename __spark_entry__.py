@@ -356,8 +356,21 @@ def q_ann_lsh_indexed(spark, sf_dir):
     import hashlib
     import os
 
-    store = "/tmp/lsh_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    if not os.path.exists(os.path.join(store, "_lsh_meta.json")):
+    # cache key = CONTENT fingerprint of the embeddings table (file
+    # names + sizes + mtimes), not just the path: a regenerated corpus
+    # at the same sf_dir must invalidate the store, or the probe would
+    # silently score stale vectors (ADVICE r3).  Concurrent runs over
+    # different corpus generations land in different dirs for free.
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.md5(sf_dir.encode())
+    listing = [emb] if os.path.isfile(emb) else sorted(
+        os.path.join(emb, f) for f in os.listdir(emb)
+    ) if os.path.isdir(emb) else []
+    for f in listing:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    store = "/tmp/lsh_store_" + h.hexdigest()[:16]
+    if not os.path.exists(os.path.join(store, "_lsh_meta", "_SUCCESS")):
         SIM.write_lsh_index(
             _read(spark, sf_dir, "embeddings"), store, n_planes=2, n_bands=8
         )

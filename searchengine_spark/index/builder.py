@@ -380,7 +380,14 @@ def _build_index_staged(
         # and the relation shatters into tasks x P tiny files, which
         # the driver-side pyarrow point reads (repo_scope/_doc_meta,
         # the query p50 path) then pay for on every request.
-        doc_stats.repartition(cfg.doc_stats_parts, F.col("ds_part")).write.mode(
+        # sortWithinPartitions(repo, doc_id): each ds_part file carries
+        # tight row-group min/max statistics on repo AND doc_id, so the
+        # driver-side point reads (repo_scope, _doc_meta, reindex's
+        # (repo, path) lookup) prune row groups instead of reading the
+        # whole partition (ADVICE r3)
+        doc_stats.repartition(cfg.doc_stats_parts, F.col("ds_part")).sortWithinPartitions(
+            "repo", "doc_id"
+        ).write.mode(
             "overwrite"
         ).partitionBy("ds_part").parquet(os.path.join(out_dir, "doc_stats"))
         arranged.unpersist()
@@ -496,6 +503,11 @@ def _build_index_staged(
     # ---------------- meta (completion marker) ---------------------------
     meta = {
         "n_docs": metrics["stage1"]["n_docs"],
+        # high-water mark for id assignment: build ids are dense ranks
+        # 0..n_docs-1; reindex_doc advances it per new doc so a
+        # single-doc add never scans doc_stats for max(doc_id)
+        # (VERDICT r3 #2; reference analog: DB autoincrement)
+        "max_doc_id": metrics["stage1"]["n_docs"] - 1,
         "avgdl": metrics["stage1"]["avgdl"],
         "n_terms": metrics["stage2"]["n_terms"],
         "config": json.loads(cfg.to_json()),

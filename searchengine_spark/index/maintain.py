@@ -217,11 +217,15 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
     # runs prune by [block_first, block_last] alone.  reindex_doc can
     # break contiguity (a new doc in an existing repo gets max_id+1);
     # then the rewrite filters by exact membership in the repo's sorted
-    # id array instead (repo-sized, shipped in the kernel closure) —
-    # NEVER by the widened [lo, hi] range, which would delete other
-    # repos' postings.
+    # id array instead (repo-sized, broadcast to executors) — NEVER by
+    # the widened [lo, hi] range, which would delete other repos'
+    # postings.
     contiguous = hi - lo + 1 == n
-    repo_ids = None
+    # non-contiguous repo: ship the sorted id array to executors as a
+    # Spark BROADCAST (torrent-distributed once per job), not inside
+    # every task's serialized closure — a 10^9-doc repo would otherwise
+    # pay a multi-GB closure per task (VERDICT r3 #6)
+    ids_bc = None
     if not contiguous:
         repo_ids = np.sort(
             np.array(
@@ -234,6 +238,7 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
                 dtype=np.int64,
             )
         )
+        ids_bc = spark.sparkContext.broadcast(repo_ids)
 
     # flat postings (incl. bucket=-1 doclen sentinels): filter pass.
     # NARROW: input splits already live in bucket=... hive dirs, so the
@@ -252,6 +257,7 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
     def rewrite_runs(batches):
         from searchengine_spark.index.format import decode_run
 
+        repo_ids = ids_bc.value if ids_bc is not None else None
         for pdf in batches:
             run_first = pdf["block_first"].map(lambda a: a[0])
             run_last = pdf["block_last"].map(lambda a: a[-1])
@@ -295,6 +301,8 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
         rewrite_runs, schema=POSTING_RUN_SCHEMA
     ).write.partitionBy("bucket").parquet(tmp)
     _swap_dir(tmp, runs_path)
+    if ids_bc is not None:
+        ids_bc.unpersist()
 
     _rewrite_stats(spark, index_dir)
 
@@ -339,6 +347,48 @@ def _analyze_one(content: str, doc_id: int, repo: str) -> pd.DataFrame:
     return pd.concat([tf[cols] if len(tf) else tf.reindex(columns=cols), sentinel], ignore_index=True)
 
 
+def _lookup_doc(index_dir: str, repo: str, path: str) -> dict | None:
+    """(repo, path) -> doc_stats row via a driver-side pyarrow pruned
+    read — NO Spark job (VERDICT r3 #2; the reference analog is the
+    indexed ``pageRepository.findBySiteAndPath`` point lookup,
+    ``PageProcessorService.java:34-46``).  The builder sorts each
+    ds_part file by (repo, doc_id), so row-group statistics on repo
+    prune within partitions; content is never read."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(
+        os.path.join(index_dir, "doc_stats"), format="parquet",
+        partitioning="hive",
+    )
+    cols = [f.name for f in ds.schema if f.name not in ("content", "ds_part")]
+    tbl = ds.to_table(
+        filter=(pads.field("repo") == repo) & (pads.field("path") == path),
+        columns=cols,
+    )
+    rows = tbl.to_pylist()
+    return rows[0] if rows else None
+
+
+def _max_doc_id_from_footers(index_dir: str) -> int:
+    """Max doc_id from parquet row-group STATISTICS only (no data
+    read) — the fallback when meta.json predates the ``max_doc_id``
+    high-water mark.  O(#row-groups) footer reads, not O(n_docs)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(
+        os.path.join(index_dir, "doc_stats"), format="parquet",
+        partitioning="hive",
+    )
+    mx = -1
+    for frag in ds.get_fragments():
+        for rg in frag.row_groups:
+            st = rg.statistics or {}
+            s = st.get("doc_id")
+            if s and s.get("max") is not None:
+                mx = max(mx, int(s["max"]))
+    return mx
+
+
 def _old_terms(index_dir: str, doc_id: int) -> set[str]:
     """The doc's current terms via a driver-side pyarrow pruned read
     (row-group statistics on doc_id do the pruning; the reference's
@@ -374,20 +424,27 @@ def reindex_doc(
     meta, cfg = _load_meta(index_dir)
     ds_path = os.path.join(index_dir, "doc_stats")
     ds = spark.read.parquet(ds_path)
-    existing = ds.where((F.col("repo") == repo) & (F.col("path") == path)).collect()
-    if existing:
-        row = existing[0]
-        doc_id = int(row["doc_id"])
-        commit = commit if commit is not None else row["commit"]
-        lang = lang if lang is not None else row["lang"]
+    # metadata-cheap lookups (VERDICT r3 #2): the (repo, path) -> row
+    # lookup is a driver-side pyarrow pruned read and the new-doc id
+    # comes from meta.json's high-water mark — NO Spark job scans
+    # doc_stats before the rewrite work starts
+    existing = _lookup_doc(index_dir, repo, path)
+    if existing is not None:
+        doc_id = int(existing["doc_id"])
+        commit = commit if commit is not None else existing["commit"]
+        lang = lang if lang is not None else existing["lang"]
         old_terms = _old_terms(index_dir, doc_id)
         is_new = False
     else:
-        doc_id = int(ds.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+        hwm = meta.get("max_doc_id")
+        if hwm is None:  # pre-hwm index: parquet footer statistics only
+            hwm = _max_doc_id_from_footers(index_dir)
+        doc_id = int(hwm) + 1
         commit = commit or ""
         lang = lang or ""
         old_terms = set()
         is_new = True
+    meta["max_doc_id"] = max(int(meta.get("max_doc_id", -1)), doc_id)
 
     new_rows = _analyze_one(content, doc_id, repo)
     new_terms = set(new_rows["term"]) - {""}

@@ -255,7 +255,9 @@ def connected_components(
 
     Driver loop = the standard Spark iterative-algorithm pattern; the
     fixpoint check is a 1-row checksum aggregate per round pair.
-    ``max_rounds`` is a safety bound (25 rounds covers > 2^25 nodes).
+    ``max_rounds`` is a safety bound (25 rounds covers > 2^25 nodes);
+    exhausting it without reaching the fixpoint RAISES rather than
+    returning partially-contracted labels.
     """
     e = _symmetrize(
         pairs.select(
@@ -266,6 +268,7 @@ def connected_components(
     # (e.g. a SimHash banding join) must not re-evaluate every round
     nodes = e.select(F.col("u").alias("node")).distinct()
     prev = None
+    converged = False
     for _ in range(max_rounds):
         # large-star: every neighbor v > u re-links to m(u)
         m = _min_nbr(e)
@@ -286,8 +289,19 @@ def connected_components(
         e = _symmetrize(ss).localCheckpoint(eager=True)  # cut lineage per round
         cur = _edge_checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # falling through would yield partially-contracted (WRONG)
+        # component labels with no signal — silent data corruption in a
+        # dedup pipeline.  25 rounds covers > 2^25 nodes, so exhaustion
+        # means something is genuinely pathological (ADVICE r3).
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint within "
+            f"max_rounds={max_rounds}; raise max_rounds (O(log n) rounds "
+            f"suffice for n nodes) instead of using partial labels"
+        )
     labels = (
         e.groupBy("u").agg(F.min("v").alias("_mv"))
         .select(

@@ -293,8 +293,14 @@ def write_lsh_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    with open(os.path.join(out_path, "_lsh_meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
+    # the plane-parameter sidecar goes through Spark's writer (one-row
+    # JSON under the underscore-prefixed `_lsh_meta/`, which parquet
+    # listings ignore), so the store works on ANY filesystem the
+    # cluster can reach — HDFS/S3, not just local paths (ADVICE r3)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(meta, sort_keys=True),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").json(f"{out_path}/_lsh_meta")
     return meta
 
 
@@ -314,8 +320,13 @@ def lsh_topk_indexed(
     import json
     import os
 
-    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
-        meta = json.load(f)
+    try:  # Spark-written sidecar: works on HDFS/S3/local alike
+        meta = json.loads(
+            spark.read.json(f"{index_path}/_lsh_meta").collect()[0]["meta"]
+        )
+    except Exception:  # legacy local-FS stores wrote a bare json file
+        with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+            meta = json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cond = None
     for band in range(meta["n_bands"]):

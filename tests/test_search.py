@@ -88,18 +88,42 @@ def test_blockmax_pruned_equals_exhaustive(engine, oracle_index):
 
 
 def test_tf_relevance_matches_reference_semantics(engine, oracle_index):
-    """Σtf + max-normalization parity (SearchServiceImpl.java:141-161)."""
+    """Σtf + max-normalization parity (SearchServiceImpl.java:141-161):
+    relevance values must EQUAL the oracle's globally-normalized ones."""
     for query in ["index search", "def return", "build"]:
         want = oracle_tf_relevance(oracle_index, query, CFG.search_filter_pct)
         res = engine.search(query, limit=len(want) or 1, mode="and", engine="local")
         assert res["result"]
-        got = [(d["doc_id"], d["relevance"]) for d in res["data"]]
         # the API sorts by bm25; compare as mapping doc -> normalized Σtf
         want_map = {d: rel for d, _, rel in want}
-        for doc_id, rel in got:
-            # engine normalizes over the returned page's max Σtf; on the
-            # full result set both normalize by the same global max
-            assert doc_id in want_map
+        for d in res["data"]:
+            assert d["relevance"] == pytest.approx(want_map[d["doc_id"]]), query
+
+
+def test_relevance_normalized_by_global_max_across_pages(engine, oracle_index):
+    """The normalizer is max Σtf over ALL matched docs BEFORE
+    pagination (SearchServiceImpl.java:149-151) — page-invariant: an
+    offset>0 page that does NOT contain the global-max-Σtf doc must
+    still divide by the global max, not its own page max (VERDICT r3
+    #1 regression pin)."""
+    for query in ["index", "def return", "index search"]:
+        want = oracle_tf_relevance(oracle_index, query, CFG.search_filter_pct)
+        if len(want) < 8:
+            continue
+        want_map = {d: rel for d, _, rel in want}
+        abs_map = {d: a for d, a, _ in want}
+        global_max = max(abs_map.values())
+        res = engine.search(query, offset=5, limit=5, mode="and", engine="local")
+        page_tf = [abs_map[d["doc_id"]] for d in res["data"]]
+        if res["data"] and max(page_tf) < global_max:
+            # discriminating page: page-local max != global max, so a
+            # page-local normalizer would yield a 1.0 here — assert the
+            # exact global values instead
+            for d in res["data"]:
+                assert d["relevance"] == pytest.approx(want_map[d["doc_id"]])
+            assert all(d["relevance"] < 1.0 for d in res["data"])
+            return
+    pytest.skip("fixture produced no page whose local max != global max")
 
 
 def test_missing_term_empty_result(engine):
@@ -246,3 +270,47 @@ def test_count_local_falls_back_to_spark_above_df_cap(engine, monkeypatch):
     monkeypatch.undo()
     assert forced == engine.count_matches("index", engine="spark")
     assert forced == engine.count_matches("index", engine="local")
+
+
+# ---------------------------------------------------------------------------
+# snippet reference-shape pins (SearchServiceImpl.java:218-267)
+# ---------------------------------------------------------------------------
+
+def test_snippet_reference_shape():
+    from searchengine_spark.query.snippets import build_snippet
+
+    # empty text and no-hit text -> "" (:219, :236)
+    assert build_snippet("", {"index"}) == ""
+    assert build_snippet("no match anywhere here", {"zzz"}) == ""
+    # hit -> outer "..." framing with no inner padding space (:266)
+    s = build_snippet("aa bb index cc dd", {"index"})
+    assert s.startswith("...") and s.endswith("...")
+    assert not s.startswith("... ") and not s.endswith(" ...")
+    assert "<b>index</b>" in s
+
+
+def test_snippet_three_window_cap_and_no_extension():
+    """At most 3 windows, joined by ' ... '; the scan STOPS the moment
+    the 3rd window is created — a later hit never extends it
+    (:249-251)."""
+    from searchengine_spark.query.snippets import build_snippet
+
+    toks = [f"t{i}" for i in range(60)]
+    for pos in (0, 20, 40, 52):
+        toks[pos] = "index"
+    s = build_snippet(" ".join(toks), {"index"})
+    assert s.count(" ... ") == 2  # exactly 3 fragments
+    assert s.count("<b>index</b>") == 3
+    # window 3 is [35, 45]; the 4th hit at 52 must NOT appear
+    assert "t52" not in s and "t46" not in s
+
+
+def test_snippet_windows_merge_adjacent_hits():
+    from searchengine_spark.query.snippets import build_snippet
+
+    toks = [f"w{i}" for i in range(30)]
+    toks[10] = "index"
+    toks[14] = "search"  # within ±5 of the first hit -> merged window
+    s = build_snippet(" ".join(toks), {"index", "search"})
+    assert s.count(" ... ") == 0  # single merged fragment
+    assert "<b>index</b>" in s and "<b>search</b>" in s

@@ -105,6 +105,31 @@ def main() -> None:
         ["PushedFilters"],
     ))
 
+    corpus_path = "/tmp/plans_corpus"
+    shutil.rmtree(corpus_path, ignore_errors=True)
+    docs.write.parquet(corpus_path)
+    fallback = spark.read.parquet(corpus_path).where(
+        SearchEngine._doc_keys_condition(
+            [
+                {"repo": "repo-001", "path": "src/file_001.py"},
+                {"repo": "repo-002", "path": "src/file_002.py"},
+            ]
+        )
+    ).select("repo", "path", "content")
+    plans.append((
+        "snippet corpus-fallback fetch (J4 on a store_content=False index)",
+        "The k result rows' (repo, path) keys reach the corpus reader "
+        "as an OR of per-column conjunctions — PushedFilters on repo "
+        "AND path, so the reader prunes row groups instead of scanning "
+        "the corpus (a computed concat_ws key would push nothing).",
+        fmt(fallback),
+        ["PushedFilters"],
+    ))
+    ftext = fmt(fallback)
+    assert "repo" in ftext.split("PushedFilters", 1)[1].split("\n", 1)[0] and (
+        "path" in ftext.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    ), "corpus-fallback lost repo/path pushdown"
+
     lsh = lsh_candidate_pairs(
         docs.select(F.col("path").alias("doc_id_str"), "content")
         .withColumn("doc_id", F.xxhash64("doc_id_str"))
