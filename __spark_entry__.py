@@ -659,13 +659,22 @@ _SHINGLES = (
     "       WHERE len(arr) >= 3)"
 )
 
+# Portable MinHash (operators/dedup.py minhash_signatures
+# portable=True): ONE md5 per shingle, 32-bit prefix base x, then the
+# H universal-hash permutations (a_s*x + b_s) mod 2^31-1 with the SAME
+# minhash_coeffs the engine uses — each mh value matches bit-for-bit
+# (all operands < 2^63, plain BIGINT arithmetic on both engines).
 _MINHASH = (
     _SHINGLES
-    + ",\nmh AS (SELECT doc_id, "
+    + ",\nshx AS (SELECT doc_id,"
+    " CAST(('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS BIGINT) AS x"
+    " FROM sh),\n"
+    + "mh AS (SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{s}' || ':' || shingle)) AS mh{s}" for s in range(8)
+        f"min(({a} * x + {b}) % {D.MINHASH_PRIME}) AS mh{s}"
+        for s, (a, b) in enumerate(D.minhash_coeffs(8))
     )
-    + " FROM sh GROUP BY doc_id)"
+    + " FROM shx GROUP BY doc_id)"
 )
 
 # 60-bit engine-portable SimHash (see operators/dedup.py simhash64

@@ -12,26 +12,48 @@ are the corpus-scale operators a 100 TB text pipeline needs:
 - SimHash                — 64-bit near-dup fingerprint via xxhash64 bit
   voting (no SQL oracle: xxhash64 is engine-specific)
 
-Determinism note: MinHash is ``min`` over the md5 of
-``seed || ':' || shingle`` — deterministic, seedable, and exactly
-reproducible in ANSI SQL (the DuckDB oracle), unlike
-hash-function-dependent MinHashLSH implementations.  The engine mins a
-*numeric 60-bit prefix* of the digest (``conv(substr(hex,1,15),16,10)``)
-instead of the 32-char hex string: md5-hex ordering equals big-endian
-numeric ordering, so prefix-min selects the same argmin shingle as the
-oracle's string-min unless two shingles of one doc collide in 60 bits
-(~2^-60 x pairs-per-doc — negligible), while the min-aggregate and the
-band join keys become 8-byte longs instead of 32-byte strings (~10x
-cheaper at the 100 TB shuffle).  Band keys never leave the query, so
-each side may build its own key representation; only the argmin
-*selection* must agree.
+Determinism note: MinHash (``portable=True``, the oracle-matched
+default) hashes each shingle ONCE — a 32-bit md5-prefix base ``x =
+conv(substr(md5(shingle),1,8),16,10)`` — and derives the H seeded
+permutations as ``(a_s·x + b_s) mod (2^31-1)``, the classic universal-
+hash permutation family (the same scheme Spark MLlib's MinHashLSH
+uses on its 32-bit base hash).  Every operand stays < 2^63, so the
+arithmetic is plain BIGINT in BOTH engines and the DuckDB oracle
+reproduces each minhash value bit-for-bit; the ``(a_s, b_s)`` pairs
+come from a fixed seeded PRNG shared by engine and oracle
+(:func:`minhash_coeffs`).  This replaced a per-(seed × shingle) md5
+scheme — 8x less digest work for H=8, the former q_minhash_lsh cost
+center (VERDICT r3 #5).  ``portable=False`` swaps the base hash for
+per-seed ``xxhash64(seed, shingle)`` — fastest, Spark-specific,
+covered by the hash-agnostic planted-near-dup tests.  Band keys never
+leave the query, so each side may build its own key representation;
+only the argmin *selections* must agree.
 """
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from searchengine_spark.functions.text import shingles, simple_tokens
+
+#: 2^31 - 1 (Mersenne prime): the permutation field of the portable
+#: MinHash scheme.  a_s < P and the 32-bit base x keep a_s*x + b_s
+#: < 2^63, so the mod runs in plain 64-bit integers on any engine.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """The (a_s, b_s) permutation coefficients for H minhashes —
+    deterministic (seeded PRNG), shared verbatim by the engine
+    expressions and the DuckDB oracle SQL so both compute identical
+    minhash values."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(MINHASH_PRIME))
+        for _ in range(n_hashes)
+    ]
 
 
 def exact_duplicate_groups(
@@ -77,29 +99,39 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 8,
     shingle_n: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
-    """(_id, mh0..mh{H-1}) MinHash signature per doc (mh* are longs —
-    the 60-bit md5-prefix scheme, see module docstring).
+    """(_id, mh0..mh{H-1}) MinHash signature per doc (mh* are longs).
 
     One explode + one groupBy with H min-aggregates (single shuffle);
     docs with < shingle_n tokens get no signature (dropped — they are
     handled by exact dedup).  min over a multiset equals min over the
     set, so the shingle stream skips the distinct shuffle entirely —
     the groupBy's map-side partial min does the dedup for free.
+
+    ``portable=True`` (default): ONE md5 per shingle, H universal-hash
+    permutations ``(a_s·x + b_s) mod 2^31-1`` over its 32-bit prefix —
+    bit-for-bit reproducible in ANSI SQL (the module docstring has the
+    scheme).  ``portable=False``: per-seed ``xxhash64(seed, shingle)``
+    — the fastest Spark-native variant, engine-specific.
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n, distinct=False)
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"mh{s}")
-        for s in range(n_hashes)
-    ]
+    if portable:
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        sh = sh.select("_id", base.alias("x"))
+        aggs = [
+            F.min(
+                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_PRIME))
+            ).alias(f"mh{s}")
+            for s, (a, b) in enumerate(minhash_coeffs(n_hashes))
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
     return sh.groupBy("_id").agg(*aggs)
 
 
@@ -110,6 +142,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     shingle_n: int = 3,
     bands: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing >= 1 signature band.
 
@@ -120,7 +153,7 @@ def lsh_candidate_pairs(
     should be capped upstream by exact dedup.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, portable)
     # band key = xxhash64 over the band's numeric minhashes: an 8-byte
     # long join key (the oracle builds its own key from hex strings —
     # keys are internal, only the argmin selections must agree)

@@ -385,34 +385,83 @@ def test_duplicate_clusters_canonical_flag(spark):
 
 
 # ---------------------------------------------------------------------------
-# MinHash numeric-prefix ordering parity
+# MinHash portable-scheme parity + fast variant
 # ---------------------------------------------------------------------------
 
-def test_md5_prefix_min_selects_same_argmin_as_hex_min():
-    """The engine mins conv(substr(md5,1,15),16,10) while the oracle
-    mins the 32-char hex string; fixed-width hex ordering == numeric
-    ordering, so both select the same argmin shingle."""
-    rng = np.random.default_rng(11)
-    for _ in range(200):
-        shingles = [
-            " ".join(str(rng.integers(0, 50)) for _ in range(3))
-            for _ in range(rng.integers(2, 30))
-        ]
-        hexes = [hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles]
-        by_string = min(range(len(hexes)), key=lambda i: hexes[i])
-        by_prefix = min(range(len(hexes)), key=lambda i: int(hexes[i][:15], 16))
-        assert by_string == by_prefix
+def _py_minhash(shingles_, n_hashes):
+    """Pure-Python recompute of the portable scheme: one md5 per
+    shingle, 32-bit prefix base, (a*x + b) mod 2^31-1 permutations."""
+    coeffs = D.minhash_coeffs(n_hashes)
+    xs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles_]
+    return [
+        min((a * x + b) % D.MINHASH_PRIME for x in xs) for a, b in coeffs
+    ]
 
 
-def test_minhash_signatures_are_numeric_prefix(spark):
+def test_minhash_portable_matches_python_recompute(spark):
+    """The engine's portable minhash values equal an independent Python
+    recompute of the documented scheme — the same arithmetic the DuckDB
+    oracle runs, so this pins engine<->oracle value parity."""
     df = spark.createDataFrame(
-        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "one two three four five six seven")],
+        "doc_id long, text string",
     )
-    sig = D.minhash_signatures(df, n_hashes=2, shingle_n=3).collect()[0]
-    shingles = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
-    for s_idx in range(2):
-        want = min(
-            int(hashlib.md5(f"{s_idx}:{s}".encode()).hexdigest()[:15], 16)
-            for s in shingles
+    sigs = {r["_id"]: r for r in D.minhash_signatures(df, n_hashes=4, shingle_n=3).collect()}
+    docs = {
+        0: ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"],
+        1: ["one two three", "two three four", "three four five",
+            "four five six", "five six seven"],
+    }
+    for doc_id, sh in docs.items():
+        want = _py_minhash(sh, 4)
+        got = [sigs[doc_id][f"mh{s}"] for s in range(4)]
+        assert got == want, doc_id
+
+
+def test_minhash_coeffs_are_deterministic_and_in_field():
+    a1 = D.minhash_coeffs(8)
+    a2 = D.minhash_coeffs(8)
+    assert a1 == a2  # engine and oracle must derive identical constants
+    for a, b in a1:
+        assert 1 <= a < D.MINHASH_PRIME and 0 <= b < D.MINHASH_PRIME
+        # no-overflow proof obligation: max operand product < 2^63
+        assert a * (2**32 - 1) + b < 2**63
+
+
+def test_minhash_permutations_select_diverse_argmins():
+    """The permutations must behave like independent random orderings:
+    across seeds, the argmin shingle varies (a broken mixing scheme —
+    e.g. min dominated by one base value — would pick the same shingle
+    for every seed and collapse LSH to a single-hash scheme)."""
+    rng = np.random.default_rng(7)
+    shingles_ = [
+        " ".join(str(rng.integers(0, 1000)) for _ in range(3)) for _ in range(200)
+    ]
+    coeffs = D.minhash_coeffs(16)
+    xs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles_]
+    argmins = {
+        min(range(len(xs)), key=lambda i: (a * xs[i] + b) % D.MINHASH_PRIME)
+        for a, b in coeffs
+    }
+    assert len(argmins) >= 8  # 16 seeds over 200 shingles: near-unique
+
+
+def test_minhash_xxhash_variant_is_deterministic_and_finds_planted_pair(
+    spark, docs_df
+):
+    """portable=False (per-seed xxhash64) — the Spark-native fast
+    variant: deterministic across runs and catches the same planted
+    near-dup the portable path catches (hash-agnostic LSH property)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df.unionByName(
+        spark.createDataFrame(
+            [(100, base), (101, base + " lambda")], "doc_id long, text string"
         )
-        assert sig[f"mh{s_idx}"] == want
+    )
+    p1 = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(
+        df, n_hashes=8, shingle_n=3, bands=4, portable=False).collect()}
+    p2 = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(
+        df, n_hashes=8, shingle_n=3, bands=4, portable=False).collect()}
+    assert p1 == p2
+    assert (100, 101) in p1
