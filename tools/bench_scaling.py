@@ -219,6 +219,16 @@ def host_probe(lo: int, hi: int, secs: float = 5.0) -> dict:
     }
 
 
+def _runs_json_path(out_md: str) -> str:
+    """Per-artifact runs record: the headline ``BASELINE.md`` keeps its
+    historical ``scaling_runs.json`` name; any other ``--out`` (e.g. a
+    supplementary configuration) gets its own suffixed record so two
+    configurations never clobber each other's run history."""
+    stem = Path(out_md).stem  # e.g. "BASELINE" / "BASELINE_100k_supplementary"
+    suffix = stem[len("BASELINE"):] if stem.startswith("BASELINE") else f"_{stem}"
+    return os.path.join(os.path.dirname(out_md), f"scaling_runs{suffix}.json")
+
+
 def run_parent(n_files: int, out_md: str, repeats: int = 3,
                lo: int = 2, hi: int = 8,
                min_probe_ratio: float = 0.0) -> None:
@@ -298,7 +308,7 @@ def run_parent(n_files: int, out_md: str, repeats: int = 3,
     # burst-credited host, min-of-N across ALL attempts is the declared
     # estimator of the uncontended machine (each run carries the host
     # mini-probe it ran under, so the selection is auditable)
-    runs_json = os.path.join(os.path.dirname(out_md), "scaling_runs.json")
+    runs_json = _runs_json_path(out_md)
     if os.path.exists(runs_json):
         try:
             with open(runs_json) as f:
@@ -329,7 +339,7 @@ def run_parent(n_files: int, out_md: str, repeats: int = 3,
     cpu_eff = cpu_lo / cpu_hi if cpu_hi else 0.0
     probes_seen = [r.get("probe_ratio_before") for r in all_runs if r.get("probe_ratio_before")]
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
-    with open(os.path.join(os.path.dirname(out_md), "scaling_runs.json"), "w") as f:
+    with open(runs_json, "w") as f:
         json.dump(
             {"files": n_files, "lo": lo, "hi": hi, "probe": probe,
              "efficiency": round(eff, 3), "host_normalized": round(norm, 3),
@@ -429,7 +439,7 @@ Driver-side fixed-overhead steps (parquet footer stats, manifest
 writes) are excluded below 50 ms; they are the same cost at any
 cluster size and amortize to zero at production corpus sizes.
 
-Reproduce: `python tools/bench_scaling.py --files {n_files} --lo {lo} --hi {hi}`.
+Reproduce: `python tools/bench_scaling.py --files {n_files} --lo {lo} --hi {hi} --repeats {repeats}{f" --min-probe-ratio {min_probe_ratio}" if min_probe_ratio else ""} --out {os.path.basename(out_md)}`.
 Per-round headline latencies are in `BENCH_r{{N}}.json` (from
 `bench.py`); the reference publishes no numbers to compare against
 (BASELINE.md §"Reference").
