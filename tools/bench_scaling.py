@@ -366,7 +366,7 @@ def run_parent(n_files: int, out_md: str, repeats: int = 3,
             f"""# BENCH/BASELINE — measured numbers
 
 (Generated by `tools/bench_scaling.py` — do not hand-edit; every run
-is recorded in `BENCH/scaling_runs.json`.)
+is recorded in `BENCH/{os.path.basename(runs_json)}`.)
 
 ## Scaling (north_rule: efficiency >= 0.8 from N to 4N parallelism)
 
