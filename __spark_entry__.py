@@ -491,14 +491,23 @@ def q_rev_by_nation(spark, sf_dir):
     rev = F.expr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))"
     )
+    # aggregation BELOW the joins: revenue rolls up to one exact
+    # DECIMAL row per orderkey before touching orders, so the
+    # order/customer joins carry |orders| pre-summed rows instead of
+    # |lineitem| raw rows, and the per-nation countDistinct(o_orderkey)
+    # (a two-phase expand at scale) becomes a plain count of the
+    # already-distinct orderkeys.  DECIMAL sums are associative, so the
+    # rollup of rollups is bit-identical to the flat sum the oracle
+    # computes.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("o_rev"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("o_rev").cast("double").alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
     )
 
@@ -511,13 +520,28 @@ def q_top_customers(spark, sf_dir):
     rev = F.expr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))"
     )
+    # same shape as the engine's J4: aggregate below the joins, rank,
+    # THEN materialize names.  Revenue pre-aggregates per orderkey, the
+    # orders join carries only (o_orderkey, o_custkey), the per-custkey
+    # rollup ranks via TakeOrderedAndProject, and the wide customer
+    # relation joins against the 10 surviving rows (broadcast) instead
+    # of shuffling c_name through the whole aggregation.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("o_rev"))
     per_cust = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("o_rev").cast("double").alias("revenue"))
     )
-    return per_cust.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+    top = per_cust.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(10)
+    return (
+        F.broadcast(top)
+        .join(cust, top.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    )
 
 
 def q_events_hourly(spark, sf_dir):
