@@ -401,18 +401,26 @@ def simhash64(
         F.col(id_col).alias("_id"),
         F.explode(simple_tokens(text_col)).alias("tok"),
     ).withColumn("h", h)
+    # vote_b = Σ±1 = 2·Σbit_b − n, so the aggregate sums the RAW bit
+    # (shiftright+and, no per-row CASE branch — measurably lighter in
+    # the codegen'd update loop at 60-64 aggregates per row) plus one
+    # count; the sign test becomes 2·Σbit_b > n with identical bit
+    # outcomes (ties -> 0 either way).
     votes = toks.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
             ).alias(f"b{b}")
             for b in range(n_bits)
-        ]
+        ],
     )
     sim = None
     for b in range(n_bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (
+            F.when(F.col(f"b{b}") * 2 > F.col("_n"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         contrib = F.shiftleft(bit, b)
         sim = contrib if sim is None else sim.bitwiseOR(contrib)
     return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
