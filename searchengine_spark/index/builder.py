@@ -431,18 +431,42 @@ def _build_index_staged(
         )
         block_size = cfg.block_size
 
-        # One shuffle: co-locate each (term, salt) run via hash(bucket,
-        # salt), sort runs contiguously, then encode WHOLE partitions in
-        # mapInPandas.  A per-group applyInPandas pays ~ms of pandas
-        # overhead per run — ruinous for a code corpus whose
-        # identifier/number vocabulary means millions of tiny runs.
+        # One shuffle: co-locate each (term, salt) run, sort runs
+        # contiguously, then encode WHOLE partitions in mapInPandas.  A
+        # per-group applyInPandas pays ~ms of pandas overhead per run —
+        # ruinous for a code corpus whose identifier/number vocabulary
+        # means millions of tiny runs.
+        #
+        # Partition key = (term, salt), NOT (bucket, salt): the encoder
+        # only needs each run contiguous, and hashing the
+        # vocabulary-sized key space balances the encode stage at any
+        # partition count, whereas hash(bucket, salt) has only
+        # n_buckets x n_salts distinct values — balls-in-bins collisions
+        # plus unequal bucket mass skew the stage, and AQE is free to
+        # coalesce a column-only repartition below the core count.  The
+        # explicit numPartitions (the user's shuffle-sizing knob)
+        # decouples encode parallelism from the index layout and pins
+        # it against AQE.  Sorting with the leading ``bucket``
+        # (functionally determined by term, so run contiguity is
+        # preserved) lets the dynamic-partitionBy write reuse the sort
+        # instead of inserting its own, and keeps every output file
+        # term-sorted for tight row-group pruning at query time.
         def _encode(batches):
             return encode_partition(batches, block_size)
 
+        n_enc = int(spark.conf.get("spark.sql.shuffle.partitions"))
         runs = (
-            salted.repartition("bucket", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
+            salted.repartition(n_enc, "term", "salt")
+            .sortWithinPartitions("bucket", "term", "salt", "doc_id")
             .mapInPandas(_encode, schema=POSTING_RUN_SCHEMA)
+            # the Python eval node erases ordering info, so without this
+            # the partitionBy write inserts its own bucket-only sort
+            # (stability not guaranteed) over the encoded rows; this
+            # explicit (bucket, term) sort both satisfies the writer's
+            # required ordering and pins term-sorted files (tight term
+            # row-group stats for query-time pruning).  Near-free: the
+            # encoder emits rows already in this order.
+            .sortWithinPartitions("bucket", "term")
         )
         runs_path = os.path.join(out_dir, "postings")
         runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
