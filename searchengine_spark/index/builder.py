@@ -343,12 +343,32 @@ def _build_index_staged(
             .cast("int"),
         )
         flat_path = os.path.join(out_dir, "stage1_postings")
-        # repartition on the partition column first so each task writes
-        # ~1 bucket directory; a direct dynamic-partition write opens
-        # n_buckets writers per task and is ~5x slower (measured)
-        flat.repartition(cfg.n_buckets, "bucket").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(flat_path)
+        # Write balance without file explosion.  Keying the shuffle on
+        # bucket alone has two scale flaws: (a) n_buckets+1 distinct
+        # keys hash into as many bins with balls-in-bins collisions
+        # (skewed tasks, idle cores), and (b) the sentinel pseudo-bucket
+        # (term="", one row per doc) is ONE key — at 10^12 docs that is
+        # 10^12 rows through a single task.  So each regular bucket is
+        # split into C doc-slices (C sized so distinct keys ~ 4x the
+        # partition count; at production bucket counts C collapses to 1
+        # and the layout-aligned write is preserved), and the sentinel
+        # bucket spreads over all partitions (its rows are tiny).
+        # Total file count stays ~ max(n_buckets, 4 x shuffle
+        # partitions), NOT n_partitions x n_buckets, because every
+        # (bucket, slice) key lands wholly in one task.  The explicit
+        # (bucket, term, doc_id) sort satisfies the dynamic-partition
+        # writer's required ordering AND leaves every file term-sorted,
+        # so the flat-postings count path (_match_stats) prunes row
+        # groups on term instead of scanning whole buckets.
+        n_flat = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        slices = max(1, -(-4 * n_flat // max(cfg.n_buckets, 1)))  # ceil
+        flat_split = F.when(
+            F.col("bucket") == DOC_ROW_BUCKET,
+            F.pmod(F.col("doc_id"), F.lit(n_flat)),
+        ).otherwise(F.pmod(F.col("doc_id"), F.lit(slices)))
+        flat.repartition(n_flat, F.col("bucket"), flat_split).sortWithinPartitions(
+            "bucket", "term", "doc_id"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(flat_path)
         t_flat = time.time()
 
         # doclen: partition-pruned read of the n_docs sentinel rows —
