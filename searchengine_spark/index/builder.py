@@ -10,8 +10,8 @@ Two shuffle stages (SURVEY.md §3.2 "Spark rebuild"):
   ``(term, doc_id, tf, dl, repo)`` written partitioned by
   ``bucket = pmod(xxhash64(term), P)``, plus ``doc_stats``.
 - **Stage 2 — shuffle/encode**: flat postings -> salt =
-  ``pmod(doc_id, S)`` -> groupBy(term, salt) sort-merge shuffle ->
-  ``applyInPandas`` block encoder (delta+varint+skip+block-max) ->
+  ``pmod(doc_id, S)`` -> (term, salt) sort-merge shuffle ->
+  ``mapInArrow`` block encoder (delta+varint+skip+block-max) ->
   ``postings/`` runs + ``term_stats`` + ``term_repo_stats``.
 
 The reference buffers every posting of the whole crawl in one in-memory
@@ -51,7 +51,7 @@ from searchengine_spark.analyzer import term_frequencies
 from searchengine_spark.config import IndexConfig
 from searchengine_spark.index.format import (
     POSTING_RUN_SCHEMA,
-    encode_partition,
+    encode_partition_arrow,
 )
 
 #: columns that define the deterministic global document order
@@ -452,10 +452,12 @@ def _build_index_staged(
         block_size = cfg.block_size
 
         # One shuffle: co-locate each (term, salt) run, sort runs
-        # contiguously, then encode WHOLE partitions in mapInPandas.  A
-        # per-group applyInPandas pays ~ms of pandas overhead per run —
-        # ruinous for a code corpus whose identifier/number vocabulary
-        # means millions of tiny runs.
+        # contiguously, then encode WHOLE partitions in mapInArrow.
+        # Arrow-native end to end: per-group applyInPandas pays ~ms of
+        # pandas overhead per run, and even whole-partition mapInPandas
+        # pays O(runs) Python-object churn materializing the output
+        # lists/bytes (measured 39x slower than the Arrow kernel at
+        # code-corpus vocabularies — format.encode_sorted_table).
         #
         # Partition key = (term, salt), NOT (bucket, salt): the encoder
         # only needs each run contiguous, and hashing the
@@ -472,13 +474,13 @@ def _build_index_staged(
         # instead of inserting its own, and keeps every output file
         # term-sorted for tight row-group pruning at query time.
         def _encode(batches):
-            return encode_partition(batches, block_size)
+            return encode_partition_arrow(batches, block_size)
 
         n_enc = int(spark.conf.get("spark.sql.shuffle.partitions"))
         runs = (
             salted.repartition(n_enc, "term", "salt")
             .sortWithinPartitions("bucket", "term", "salt", "doc_id")
-            .mapInPandas(_encode, schema=POSTING_RUN_SCHEMA)
+            .mapInArrow(_encode, schema=POSTING_RUN_SCHEMA)
             # the Python eval node erases ordering info, so without this
             # the partitionBy write inserts its own bucket-only sort
             # (stability not guaranteed) over the encoded rows; this

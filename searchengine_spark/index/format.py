@@ -331,6 +331,226 @@ def encode_partition(batches, block_size: int):
         yield encode_sorted_frame(pd.concat(cur, ignore_index=True), block_size)
 
 
+def _posting_run_arrow_schema():
+    """POSTING_RUN_SCHEMA as an Arrow schema (field order must match)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("salt", pa.int32()),
+            ("df_run", pa.int64()),
+            ("cf_run", pa.int64()),
+            ("n_blocks", pa.int32()),
+            ("block_len", pa.int32()),
+            ("block_first", pa.list_(pa.int64())),
+            ("block_last", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
+            ("doc_offsets", pa.list_(pa.int32())),
+            ("tf_offsets", pa.list_(pa.int32())),
+            ("dl_offsets", pa.list_(pa.int32())),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("dl_bytes", pa.binary()),
+            ("n_bytes", pa.int64()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+
+def encode_sorted_table(tbl, block_size: int):
+    """Arrow-native twin of :func:`encode_sorted_frame`: one sorted
+    table -> one POSTING_RUN RecordBatch, with ZERO per-group Python.
+
+    :func:`encode_sorted_frame` spends its time materializing output
+    objects — per-group ``np.split``/``.tolist()`` lists and byte
+    slices, then a pandas->Arrow conversion of those object columns; at
+    code-corpus vocabularies (millions of runs per build) that object
+    churn dominates the encode stage.  Here every output column is
+    assembled as ONE Arrow array from the flat NumPy buffers the block
+    math already produces:
+
+    - list columns  — ``pa.ListArray.from_arrays(offsets, values)``
+      over the flat block arrays (offsets = cumsum of blocks-per-run);
+    - binary columns — runs tile each varint stream contiguously, so
+      the whole stream IS the values buffer and the per-run byte starts
+      are the offsets (``Array.from_buffers``, zero-copy);
+    - ``term`` — an Arrow ``take`` at group starts (no Python strings).
+
+    The two encoders are independent implementations of the same
+    contract and are pinned equal by a parity test
+    (tests/test_codec.py::test_arrow_and_pandas_encoders_agree).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    tbl = tbl.combine_chunks()
+    terms = tbl.column("term").chunk(0)
+    salts = tbl.column("salt").to_numpy()
+    doc = tbl.column("doc_id").to_numpy().astype(np.uint64)
+    tf = tbl.column("tf").to_numpy().astype(np.int64)
+    dl = tbl.column("dl").to_numpy().astype(np.int64)
+    bucket = tbl.column("bucket").to_numpy()
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        tchg = pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        np.logical_or(tchg, salts[1:] != salts[:-1], out=change[1:])
+    gstarts = np.flatnonzero(change)
+    gends = np.append(gstarts[1:], n)
+    n_groups = gstarts.size
+    glens = gends - gstarts
+
+    nblocks = (glens + block_size - 1) // block_size
+    total_blocks = int(nblocks.sum())
+    grp_of_block = np.repeat(np.arange(n_groups), nblocks)
+    block_cum = np.cumsum(nblocks) - nblocks
+    k_within = np.arange(total_blocks) - block_cum[grp_of_block]
+    bstarts = gstarts[grp_of_block] + k_within * block_size
+    bends = np.minimum(bstarts + block_size, gends[grp_of_block])
+
+    deltas = np.empty_like(doc)
+    deltas[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+    deltas[bstarts] = doc[bstarts]
+
+    tf_u = tf.astype(np.uint64)
+    dl_u = dl.astype(np.uint64)
+
+    cumb = np.cumsum(nblocks)
+    # positions of per-block starts and per-group trailing ends inside
+    # the flat offsets-list values array (block j shifts right by the
+    # number of group ends already emitted before it)
+    pos_blocks = np.arange(total_blocks, dtype=np.int64) + grp_of_block
+    pos_ends = cumb + np.arange(n_groups)
+    off_list_offsets = pa.array(
+        np.concatenate(([0], np.cumsum(nblocks + 1))).astype(np.int32)
+    )
+    blk_list_offsets = pa.array(np.concatenate(([0], cumb)).astype(np.int32))
+
+    def _list32(values: np.ndarray):
+        return pa.ListArray.from_arrays(
+            blk_list_offsets, pa.array(values.astype(np.int32))
+        )
+
+    def _list64(values: np.ndarray):
+        return pa.ListArray.from_arrays(
+            blk_list_offsets, pa.array(values.astype(np.int64))
+        )
+
+    n_bytes_grp = np.zeros(n_groups, dtype=np.int64)
+    bin_cols, off_cols = [], []
+    for vals in (deltas, tf_u, dl_u):
+        lens = varint_byte_lengths(vals)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        if cum[-1] >= 2**31:
+            raise ValueError(
+                "varint stream exceeds 2 GiB in one partition; raise the "
+                "shuffle partition count or n_salts"
+            )
+        buf = varint_encode(vals)
+        base = np.repeat(cum[gstarts], nblocks)
+        boffs = cum[bstarts] - base
+        bend_offs = cum[bends] - base
+        off_vals = np.empty(total_blocks + n_groups, dtype=np.int32)
+        off_vals[pos_blocks] = boffs
+        off_vals[pos_ends] = bend_offs[cumb - 1]
+        off_cols.append(
+            pa.ListArray.from_arrays(off_list_offsets, pa.array(off_vals))
+        )
+        # groups tile the stream contiguously -> the stream is the
+        # values buffer, group byte starts are the offsets (zero-copy)
+        grp_offs = np.ascontiguousarray(
+            cum[np.append(gstarts, n)].astype(np.int32)
+        )
+        bin_cols.append(
+            pa.Array.from_buffers(
+                pa.binary(), n_groups, [None, pa.py_buffer(grp_offs), pa.py_buffer(buf)]
+            )
+        )
+        n_bytes_grp += (cum[gends] - cum[gstarts]).astype(np.int64)
+
+    gstarts_arr = pa.array(gstarts.astype(np.int64))
+    return pa.RecordBatch.from_arrays(
+        [
+            terms.take(gstarts_arr),
+            pa.array(salts[gstarts].astype(np.int32)),
+            pa.array(glens.astype(np.int64)),
+            pa.array(np.add.reduceat(tf, gstarts).astype(np.int64)),
+            pa.array(nblocks.astype(np.int32)),
+            pa.array(np.full(n_groups, block_size, dtype=np.int32)),
+            _list64(doc[bstarts]),
+            _list64(doc[bends - 1]),
+            _list32(np.maximum.reduceat(tf, bstarts)),
+            _list32(np.minimum.reduceat(dl, bstarts)),
+            off_cols[0],
+            off_cols[1],
+            off_cols[2],
+            bin_cols[0],
+            bin_cols[1],
+            bin_cols[2],
+            pa.array(n_bytes_grp),
+            pa.array(bucket[gstarts].astype(np.int32)),
+        ],
+        schema=_posting_run_arrow_schema(),
+    )
+
+
+def encode_partition_arrow(batches, block_size: int):
+    """mapInArrow kernel: sorted-partition RecordBatch stream ->
+    POSTING_RUN batches.  Same carry contract as
+    :func:`encode_partition` (a (term, salt) group can span batch
+    boundaries; the incomplete tail of each batch is carried as slices
+    and concatenated only when the group completes), but the data never
+    leaves Arrow/NumPy — no pandas frames, no Python objects per group.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cur: list = []  # RecordBatch slices of ONE in-progress group
+    cur_key: tuple | None = None
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        i_term = batch.schema.get_field_index("term")
+        i_salt = batch.schema.get_field_index("salt")
+        terms = batch.column(i_term)
+        salts = batch.column(i_salt).to_numpy()
+        first_key = (terms[0].as_py(), int(salts[0]))
+        last_key = (terms[n - 1].as_py(), int(salts[n - 1]))
+        if cur and first_key != cur_key:
+            out = encode_sorted_table(pa.Table.from_batches(cur), block_size)
+            if out is not None:
+                yield out
+            cur, cur_key = [], None
+        neq = pc.not_equal(terms, pa.scalar(last_key[0])).to_numpy(
+            zero_copy_only=False
+        ) | (salts != last_key[1])
+        cut = int(np.flatnonzero(neq).max() + 1) if neq.any() else 0
+        head, tail = batch.slice(0, cut), batch.slice(cut)
+        if head.num_rows:
+            parts = [*cur, head] if cur else [head]
+            cur = []
+            out = encode_sorted_table(pa.Table.from_batches(parts), block_size)
+            if out is not None:
+                yield out
+        if tail.num_rows:
+            cur.append(tail)
+            cur_key = last_key
+    if cur:
+        out = encode_sorted_table(pa.Table.from_batches(cur), block_size)
+        if out is not None:
+            yield out
+
+
 def encode_run_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """applyInPandas kernel: one (term, salt) group -> one encoded row.
 

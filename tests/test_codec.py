@@ -161,3 +161,48 @@ def test_encode_partition_batch_boundaries(group_sizes, batch_rows):
     assert len(got) == len(want)
     for col in want.columns:
         assert list(got[col]) == list(want[col]), col
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=17),
+)
+@settings(max_examples=60, deadline=None)
+def test_arrow_and_pandas_encoders_agree(group_sizes, batch_rows):
+    """encode_partition_arrow (the builder's mapInArrow kernel) and
+    encode_partition (the pandas twin) are independent implementations
+    of the same contract — identical rows, bytes included, at every
+    batch-boundary placement."""
+    import pyarrow as pa
+
+    from searchengine_spark.index.format import (
+        encode_partition,
+        encode_partition_arrow,
+    )
+
+    rows = []
+    doc = 0
+    for g, size in enumerate(group_sizes):
+        for _ in range(size):
+            rows.append((f"t{g:03d}", g % 2, doc, 1 + doc % 7, 10 + doc % 5, g % 4))
+            doc += 2
+    pdf = pd.DataFrame(
+        rows, columns=["term", "salt", "doc_id", "tf", "dl", "bucket"]
+    )
+    frames = [
+        pdf.iloc[i: i + batch_rows].reset_index(drop=True)
+        for i in range(0, len(pdf), batch_rows)
+    ]
+    want = pd.concat(list(encode_partition(iter(frames), 8)), ignore_index=True)
+    batches = [pa.RecordBatch.from_pandas(f, preserve_index=False) for f in frames]
+    got = pa.Table.from_batches(
+        list(encode_partition_arrow(iter(batches), 8))
+    ).to_pandas()
+    assert len(got) == len(want)
+    for col in want.columns:
+        g_vals, w_vals = got[col].tolist(), want[col].tolist()
+        for gv, wv in zip(g_vals, w_vals):
+            if hasattr(gv, "__len__") and not isinstance(gv, (str, bytes)):
+                assert list(gv) == list(wv), col
+            else:
+                assert gv == wv, col

@@ -288,3 +288,79 @@ def test_config_change_invalidates_checkpoint(spark, corpus_rows, tmp_path):
     assert m["stage2"]["fingerprint"]["config"] == other.to_json()
     runs = spark.read.parquet(os.path.join(out, "postings"))
     assert runs.agg(F.max("salt")).collect()[0][0] == other.n_salts - 1
+
+
+def test_index_invariant_across_shuffle_partition_counts(
+    spark, corpus_rows, tmp_path
+):
+    """The encode/flat shuffles key on (term[, salt]) with an explicit
+    partition count taken from spark.sql.shuffle.partitions — the
+    index CONTENT (postings runs, term stats, search results) must not
+    depend on that knob (the N->4N determinism contract: a 4x cluster
+    re-partitions everything, bytes must not change)."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    docs = spark.createDataFrame(
+        corpus_rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = {}
+    try:
+        for n in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            out = str(tmp_path / f"idx_sp{n}")
+            build_index(spark, docs, out, CFG, source="sp-invariance")
+            outs[n] = out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    def canon(path):
+        runs = spark.read.parquet(os.path.join(path, "postings"))
+        return {
+            (r["term"], r["salt"]): (
+                r["df_run"], r["cf_run"], bytes(r["doc_bytes"]),
+                bytes(r["tf_bytes"]), bytes(r["dl_bytes"]),
+            )
+            for r in runs.collect()
+        }
+
+    assert canon(outs["3"]) == canon(outs["13"])
+    r3 = SearchEngine(spark, outs["3"]).search("index search", limit=5)
+    r13 = SearchEngine(spark, outs["13"]).search("index search", limit=5)
+    assert r3 == r13
+
+
+def test_sentinel_rows_spread_across_write_tasks(spark, corpus_rows, tmp_path):
+    """The doc-sentinel pseudo-bucket (term="", one row per doc) must
+    NOT collapse into a single write task: at 10^12 docs one key ==
+    one task holding 10^12 rows.  The builder spreads it over the
+    shuffle partitions — at least 2 part files must appear under
+    bucket=-1 whenever shuffle partitions > 1."""
+    docs = spark.createDataFrame(
+        corpus_rows, ["repo", "path", "commit", "lang", "content"]
+    )
+    out = str(tmp_path / "idx_sentinel")
+    build_index(spark, docs, out, CFG, source="sentinel-spread")
+    sentinel_dir = os.path.join(out, "stage1_postings", "bucket=-1")
+    files = [f for f in os.listdir(sentinel_dir) if f.endswith(".parquet")]
+    assert len(files) >= 2, files
+
+
+def test_postings_files_are_term_sorted(spark, index_dir):
+    """Every postings file must be term-sorted (the explicit
+    post-encode sort): tight term row-group min/max stats are what
+    J2's query-time row-group pruning relies on."""
+    import pyarrow.parquet as pq
+
+    runs_root = os.path.join(index_dir, "postings")
+    checked = 0
+    for root, _dirs, files in os.walk(runs_root):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            terms = pq.read_table(
+                os.path.join(root, fn), columns=["term"]
+            )["term"].to_pylist()
+            assert terms == sorted(terms), os.path.join(root, fn)
+            checked += 1
+    assert checked > 0
