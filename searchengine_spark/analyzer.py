@@ -177,6 +177,128 @@ def tokens_frame(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# Arrow-compute path — used inside mapInArrow batches (the build hot
+# path).  Same pinned rules as the pandas/pure paths; parity is enforced
+# by tests/test_analyzer.py fuzz across all three implementations.
+# Semantics notes vs Python re (why the engines agree on this contract):
+# Python's \s is a superset of RE2's, but any Python-only whitespace
+# char is simply NOT replaced by RE2's negated class — i.e. it IS
+# replaced with a space — and both outcomes are token boundaries after
+# the whitespace split; Python's \d never differs here because non-ASCII
+# digits are already replaced by the symbol class in both engines.
+# --------------------------------------------------------------------------
+
+def _lemmatize_arrow(toks):
+    """Arrow-compute mirror of :func:`lemmatize_token` (same rule order;
+    first match wins -> nested if_else built from the LAST rule up)."""
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(toks)
+
+    def _sl(stop):
+        return pc.utf8_slice_codeunits(toks, start=0, stop=stop)
+
+    out = pc.if_else(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(lens, 4), pc.ends_with(toks, pattern="s")
+            ),
+            pc.invert(
+                pc.or_(
+                    pc.or_(
+                        pc.ends_with(toks, pattern="ss"),
+                        pc.ends_with(toks, pattern="us"),
+                    ),
+                    pc.ends_with(toks, pattern="is"),
+                )
+            ),
+        ),
+        _sl(-1),
+        toks,
+    )
+    out = pc.if_else(
+        pc.and_(pc.greater_equal(lens, 5), pc.ends_with(toks, pattern="ed")),
+        _sl(-2),
+        out,
+    )
+    out = pc.if_else(
+        pc.and_(pc.greater_equal(lens, 6), pc.ends_with(toks, pattern="ing")),
+        _sl(-3),
+        out,
+    )
+    out = pc.if_else(
+        pc.and_(pc.greater_equal(lens, 5), pc.ends_with(toks, pattern="sses")),
+        _sl(-2),
+        out,
+    )
+    out = pc.if_else(
+        pc.and_(pc.greater_equal(lens, 5), pc.ends_with(toks, pattern="ies")),
+        pc.binary_join_element_wise(_sl(-3), "y", ""),
+        out,
+    )
+    return out
+
+
+def analyze_batch_arrow(doc_ids, texts):
+    """Arrow-compute analyzer + per-doc tf: one Arrow batch ->
+    pa.Table (doc_id int64, term string, tf int32).
+
+    The C++-vectorized twin of :func:`term_frequencies`: pandas ``.str``
+    ops dispatch a Python string method per element, which dominates the
+    index build; here lowercasing, symbol replacement, whitespace split,
+    identifier/stop classification, suffix lemmatization, and the
+    (doc_id, term) count all run inside Arrow compute kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(texts, "")
+    # The one case mapping where Python and utf8proc disagree AND the
+    # result lands inside the kept symbol class: Python lowers İ
+    # (U+0130) to "i" + combining dot (the dot then splits the token),
+    # utf8proc to a bare "i" (token merges).  Pin Python's mapping.
+    texts = pc.replace_substring(texts, pattern="İ", replacement="i̇")
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(texts), pattern=SYMBOL_RE, replacement=" "
+    )
+    toks_list = pc.utf8_split_whitespace(cleaned)
+    flat = pc.list_flatten(toks_list)
+    reps = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    ids_rep = np.repeat(
+        doc_ids.to_numpy(zero_copy_only=False).astype(np.int64), reps
+    )
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int32()),
+        }
+    )
+    if len(flat) == 0:
+        return empty
+    has_alnum = pc.match_substring_regex(flat, pattern="[a-zа-яё0-9]")
+    flat = pc.filter(flat, has_alnum)
+    ids_rep = ids_rep[has_alnum.to_numpy(zero_copy_only=False)]
+    if len(flat) == 0:
+        return empty
+    ident = pc.match_substring_regex(flat, pattern=r"^(?:" + IDENT_RE + r")$")
+    stop = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))
+    keep = pc.or_(ident, pc.invert(stop))
+    flat = pc.filter(flat, keep)
+    ids_rep = ids_rep[keep.to_numpy(zero_copy_only=False)]
+    if len(flat) == 0:
+        return empty
+    ident = pc.filter(ident, keep)
+    terms = pc.if_else(ident, flat, _lemmatize_arrow(flat))
+    occ = pa.table({"doc_id": pa.array(ids_rep), "term": terms})
+    tf = occ.group_by(["doc_id", "term"], use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    return tf.set_column(
+        2, "tf", pc.cast(tf.column("count_all"), pa.int32())
+    )
+
+
 def term_frequencies(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
     """Vectorized analyzer + per-doc tf count.
 

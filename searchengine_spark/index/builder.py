@@ -203,6 +203,72 @@ def _analyze_partitions(iterator):
         yield frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
 
 
+def _analyze_partitions_arrow(iterator):
+    """mapInArrow kernel: (doc_id, repo, content) RecordBatches ->
+    ANALYZED_SCHEMA batches.  Arrow-native twin of
+    :func:`_analyze_partitions` (which stays in use on the inline-search
+    path and as the parity reference): the analyzer and the (doc_id,
+    term) tf count run entirely in Arrow compute kernels
+    (analyzer.analyze_batch_arrow) — pandas ``.str`` ops dispatch a
+    Python call per element, which dominated stage 1.  Per input batch
+    it emits one postings batch and one sentinel batch (term="", tf=0,
+    dl=doclen — the doc_stats carrier, see module docstring)."""
+    import pyarrow as pa
+
+    from searchengine_spark.analyzer import analyze_batch_arrow
+
+    analyzed_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("dl", pa.int32()),
+            ("repo", pa.string()),
+        ]
+    )
+    import numpy as np
+
+    for batch in iterator:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        ids = batch.column(batch.schema.get_field_index("doc_id"))
+        repos = batch.column(batch.schema.get_field_index("repo"))
+        texts = batch.column(batch.schema.get_field_index("content"))
+        tf = analyze_batch_arrow(ids, texts).combine_chunks()
+        bids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bids, kind="stable")
+        sorted_bids = bids[order]
+        dl_batch = np.zeros(n, dtype=np.int64)
+        if tf.num_rows:
+            tf_ids = tf.column("doc_id").to_numpy(zero_copy_only=False)
+            tf_np = tf.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = order[np.searchsorted(sorted_bids, tf_ids)]
+            # exact: int-valued float64 sums stay < 2^53
+            dl_batch = np.bincount(idx, weights=tf_np, minlength=n).astype(np.int64)
+            idx_arr = pa.array(idx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tf.column("doc_id").chunk(0),
+                    tf.column("term").chunk(0),
+                    tf.column("tf").chunk(0),
+                    pa.array(dl_batch[idx].astype(np.int32)),
+                    repos.take(idx_arr),
+                ],
+                schema=analyzed_schema,
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(bids),
+                pa.array([""] * n, pa.string()),
+                pa.array(np.zeros(n, dtype=np.int32)),
+                pa.array(dl_batch.astype(np.int32)),
+                repos,
+            ],
+            schema=analyzed_schema,
+        )
+
+
 def _footer_rowcounts(path: str) -> dict[str, int]:
     """{hive-partition-dirname: total rows} from parquet footers only.
 
@@ -333,8 +399,8 @@ def _build_index_staged(
         with_ids, arranged = _assign_doc_ids(docs)
         with_ids = with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
-        analyzed = with_ids.select("doc_id", "repo", "content").mapInPandas(
-            _analyze_partitions, schema=ANALYZED_SCHEMA
+        analyzed = with_ids.select("doc_id", "repo", "content").mapInArrow(
+            _analyze_partitions_arrow, schema=ANALYZED_SCHEMA
         )
         flat = analyzed.withColumn(
             "bucket",

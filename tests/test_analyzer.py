@@ -121,3 +121,44 @@ def test_stopwords_are_closed_class():
 
 def test_tokenize_strips_symbols():
     assert tokenize_text("a+b=c; d(e)") == ["a", "b", "c", "d", "e"]
+
+
+def _arrow_counter(text: str) -> Counter:
+    import pyarrow as pa
+
+    from searchengine_spark.analyzer import analyze_batch_arrow
+
+    tbl = analyze_batch_arrow(
+        pa.array([0], pa.int64()), pa.array([text], pa.string())
+    )
+    return Counter(
+        dict(
+            zip(
+                tbl.column("term").to_pylist(),
+                (int(x) for x in tbl.column("tf").to_pylist()),
+            )
+        )
+    )
+
+
+@pytest.mark.parametrize("text,_", CASES)
+def test_arrow_parity_cases(text, _):
+    assert _arrow_counter(text) == Counter(analyze_text(text))
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs", "Sm"),
+            whitelist_characters="-/_\n\t",
+        ),
+        max_size=300,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_arrow_parity_fuzz(text):
+    """The Arrow-compute analyzer (the build's mapInArrow hot path) can
+    never drift from the pure-Python contract — including the İ case
+    mapping where Python and utf8proc disagree (pinned in
+    analyze_batch_arrow)."""
+    assert _arrow_counter(text) == Counter(analyze_text(text))
