@@ -280,6 +280,21 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_engine(spark, sf_dir):
+    """SimHash fingerprints — the SCALE-path variant (full 64-bit
+    xxhash64 token hashes, one JVM-side hash per token instead of
+    conv(md5) decimal parsing).  No SQL oracle entry by design (DuckDB
+    cannot reproduce Spark's xxhash64): the driver records a rows-only
+    check, and equivalence properties (same near-dup recall behavior,
+    deterministic output) are pinned in tests/test_dedup_similarity.py.
+    Benchmarked as the headline simhash cost (VERDICT r4 #5) — the
+    portable q_simhash row remains the hash-matched CORRECTNESS
+    entry."""
+    return D.simhash64(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", portable=False
+    )
+
+
 def q_simhash_near(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding on
     max_hamming+1 chunks; exact-verified with popcount."""
@@ -648,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_simhash": q_simhash,
+        "q_simhash_engine": q_simhash_engine,
         "q_simhash_near": q_simhash_near,
         "q_near_dup_components": q_near_dup_components,
         "q_ann_cosine": q_ann_cosine,

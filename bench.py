@@ -46,6 +46,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_simhash",
+    "q_simhash_engine",
     "q_ann_cosine",
     "q_ann_lsh",
     "q_ann_lsh_indexed",
@@ -78,9 +79,37 @@ QUERY_SET = [
 ]
 
 
+#: 2->8-proc CPU-delivery ratio below which this burst-credited guest
+#: is rationing (clean hardware delivers ~4.0; SCALE.md §9) — readings
+#: below it mark the whole bench line as a rationed-window measurement
+PROBE_CLEAN_RATIO = 3.5
+
+
+def _host_probe(secs: float = 2.0) -> dict:
+    """Snapshot the hypervisor's CPU delivery (tools/cpu_probe.py):
+    iterations/sec at 2 and 8 burner processes + their ratio.  Runs
+    BEFORE and AFTER the bench so every BENCH_rN line carries the host
+    condition it was measured under (VERDICT r4 #2: un-probed numbers
+    on this guest cannot support a perf claim)."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from cpu_probe import measure
+
+        lo = measure(2, secs)
+        hi = measure(8, secs)
+        return {
+            "iters_2p": round(lo, 1),
+            "iters_8p": round(hi, 1),
+            "ratio_2to8": round(hi / lo, 2) if lo else 0.0,
+        }
+    except Exception as exc:  # probe must never break the bench line
+        return {"error": str(exc)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    probe_before = _host_probe()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -152,6 +181,20 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     total = round(time.time() - t_all, 3)
+    probe_after = _host_probe()
+    ratios = [
+        p.get("ratio_2to8", 0.0)
+        for p in (probe_before, probe_after)
+        if "ratio_2to8" in p
+    ]
+    rationed = bool(ratios) and min(ratios) < PROBE_CLEAN_RATIO
+    if rationed:
+        print(
+            f"bench: RATIONED WINDOW (probe 2->8 ratios {ratios} < "
+            f"{PROBE_CLEAN_RATIO}) — timings measure the hypervisor, "
+            "not the engine; re-run in a clean window before comparing",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -166,6 +209,9 @@ def main() -> None:
                 "query_p99_ms": round(p99, 1),
                 "query_runs": query_runs,
                 "cpus": cpus,
+                "host_probe_before": probe_before,
+                "host_probe_after": probe_after,
+                "rationed_window": rationed,
             }
         )
     )

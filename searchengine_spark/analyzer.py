@@ -51,8 +51,11 @@ IDENT_RE = r"(?:\d{2,}|[a-z0-9]+(?:-[a-z0-9]+)+|[a-z0-9\-]*/[a-z0-9/\-]*)"
 _IDENT_PAT = re.compile(IDENT_RE + r"\Z")
 
 # Token must contain at least one alphanumeric to survive (drops bare
-# '-', '/', '--' left by the symbol replacement).
-_HAS_ALNUM_PAT = re.compile(r"[a-zа-яё0-9]")
+# '-', '/', '--' left by the symbol replacement).  ONE source pattern
+# shared by the pure-Python and Arrow kernels so a rule change can
+# never desynchronize them between fuzz runs (ADVICE r4).
+HAS_ALNUM_RE = r"[a-zа-яё0-9]"
+_HAS_ALNUM_PAT = re.compile(HAS_ALNUM_RE)
 
 # --- significance filter ----------------------------------------------------
 # Stop-set: analog of the reference's POS-tag exceptions СОЮЗ/МЕЖД/ПРЕДЛ/
@@ -276,7 +279,7 @@ def analyze_batch_arrow(doc_ids, texts):
     )
     if len(flat) == 0:
         return empty
-    has_alnum = pc.match_substring_regex(flat, pattern="[a-zа-яё0-9]")
+    has_alnum = pc.match_substring_regex(flat, pattern=HAS_ALNUM_RE)
     flat = pc.filter(flat, has_alnum)
     ids_rep = ids_rep[has_alnum.to_numpy(zero_copy_only=False)]
     if len(flat) == 0:
@@ -294,8 +297,11 @@ def analyze_batch_arrow(doc_ids, texts):
     tf = occ.group_by(["doc_id", "term"], use_threads=False).aggregate(
         [([], "count_all")]
     )
-    return tf.set_column(
-        2, "tf", pc.cast(tf.column("count_all"), pa.int32())
+    # build by NAME, not position: pyarrow's group_by column ordering
+    # (keys-first vs aggregates-first) has differed across releases and
+    # the repo pins no lower bound (ADVICE r4)
+    return tf.select(["doc_id", "term"]).append_column(
+        "tf", pc.cast(tf.column("count_all"), pa.int32())
     )
 
 

@@ -57,6 +57,31 @@ from searchengine_spark.index.format import (
 #: columns that define the deterministic global document order
 DOC_ORDER = ["repo", "path", "commit"]
 
+#: optional external CPU clock for per-step attribution: a zero-arg
+#: callable returning cumulative CPU-seconds of the whole process tree
+#: (gateway JVM + python workers).  Set by ``tools/bench_scaling.py``
+#: so each build step's wall time in ``steps_sec`` gets a matching
+#: ``steps_cpu`` entry — the signal that separates "this step
+#: serialized" (CPU flat, wall up) from "this step burned more CPU at
+#: higher parallelism" (parallel overhead).  Unset (the default) the
+#: manifests are unchanged.
+STEP_CLOCK = None
+
+
+def _step_cpu() -> float:
+    return STEP_CLOCK() if STEP_CLOCK is not None else 0.0
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` with a non-numeric fallback:
+    managed platforms can set the conf to ``'auto'`` (AQE
+    auto-optimized shuffle), which must not abort the build (ADVICE
+    r4)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return int(spark.sparkContext.defaultParallelism)
+
+
 ANALYZED_SCHEMA = "doc_id long, term string, tf int, dl int, repo string"
 
 #: hive partition that holds the per-doc sentinel rows (term="", tf=0,
@@ -133,7 +158,7 @@ def _assign_doc_ids(
     """
     spark = docs.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        num_partitions = shuffle_partitions(spark)
     arranged = (
         docs.repartitionByRange(num_partitions, *[F.col(c) for c in DOC_ORDER])
         .sortWithinPartitions(*DOC_ORDER)
@@ -396,6 +421,7 @@ def _build_index_staged(
         metrics["stage1"] = m1
     else:
         t0 = time.time()
+        c0 = _step_cpu()
         with_ids, arranged = _assign_doc_ids(docs)
         with_ids = with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
@@ -426,7 +452,7 @@ def _build_index_staged(
         # writer's required ordering AND leaves every file term-sorted,
         # so the flat-postings count path (_match_stats) prunes row
         # groups on term instead of scanning whole buckets.
-        n_flat = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_flat = shuffle_partitions(spark)
         slices = max(1, -(-4 * n_flat // max(cfg.n_buckets, 1)))  # ceil
         flat_split = F.when(
             F.col("bucket") == DOC_ROW_BUCKET,
@@ -436,6 +462,7 @@ def _build_index_staged(
             "bucket", "term", "doc_id"
         ).write.mode("overwrite").partitionBy("bucket").parquet(flat_path)
         t_flat = time.time()
+        c_flat = _step_cpu()
 
         # doclen: partition-pruned read of the n_docs sentinel rows —
         # replaces a groupBy shuffle over the whole postings relation
@@ -481,6 +508,7 @@ def _build_index_staged(
         n_docs = int(stats["n"] or 0)
         avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
         t_ds = time.time()
+        c_ds = _step_cpu()
 
         # per-bucket posting counts from parquet footers (no job)
         per_bucket = {
@@ -502,6 +530,12 @@ def _build_index_staged(
                 "footer_stats": round(time.time() - t_ds, 3),
             },
         }
+        if STEP_CLOCK is not None:
+            m1["steps_cpu"] = {
+                "analyze_flat_write": round(c_flat - c0, 1),
+                "doc_stats_write": round(c_ds - c_flat, 1),
+                "footer_stats": round(_step_cpu() - c_ds, 1),
+            }
         _write_manifest(out_dir, "stage1", m1)
         metrics["stage1"] = m1
 
@@ -511,6 +545,7 @@ def _build_index_staged(
         metrics["stage2"] = m2
     else:
         t0 = time.time()
+        c0 = _step_cpu()
         flat_back = read_flat_postings(spark, out_dir)
         salted = flat_back.select("term", "doc_id", "tf", "dl", "bucket").withColumn(
             "salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int")
@@ -542,7 +577,7 @@ def _build_index_staged(
         def _encode(batches):
             return encode_partition_arrow(batches, block_size)
 
-        n_enc = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_enc = shuffle_partitions(spark)
         runs = (
             salted.repartition(n_enc, "term", "salt")
             .sortWithinPartitions("bucket", "term", "salt", "doc_id")
@@ -559,22 +594,58 @@ def _build_index_staged(
         runs_path = os.path.join(out_dir, "postings")
         runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
         t_enc = time.time()
+        c_enc = _step_cpu()
 
-        # term dictionary — narrow columns only (no blob re-read)
+        # term dictionary — narrow columns only (no blob re-read).
+        # BOTH stats relations are written bucket-partitioned (hive
+        # `bucket=` dirs) and term-sorted within files: maintenance
+        # (index/maintain._rewrite_stats) then swaps ONLY the partition
+        # dirs a mutation touches instead of rewriting the whole
+        # vocabulary (VERDICT r4 #3a), and the sorted files keep tight
+        # term row-group statistics for the driver-side point lookups
+        # (term_info / term_repo_df).  `slices` spreads each bucket
+        # over several tasks so head-bucket mass never funnels through
+        # one; task count stays ~n_enc (the measured per-task fixed
+        # cost on small corpora makes task-count inflation expensive).
         runs_back = spark.read.parquet(runs_path)
+        stat_slices = max(1, -(-n_enc // max(cfg.n_buckets, 1)))  # ceil
         term_stats = runs_back.groupBy("term").agg(
             F.sum("df_run").alias("df"),
             F.sum("cf_run").alias("cf"),
             F.first("bucket").alias("bucket"),
         )
-        term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+        (
+            term_stats.repartition(
+                max(1, cfg.n_buckets) * stat_slices,
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(stat_slices)),
+            )
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "term_stats"))
+        )
         t_ts = time.time()
+        c_ts = _step_cpu()
 
         # per-(term, repo) document frequency — the reference's per-site
         # lemma.frequency semantics (LemmaRepository.java:25-30)
-        trs = flat_back.groupBy("term", "repo").agg(F.count("*").alias("df"))
-        trs.write.mode("overwrite").parquet(os.path.join(out_dir, "term_repo_stats"))
+        trs = flat_back.groupBy("term", "repo").agg(
+            F.count("*").alias("df"), F.first("bucket").alias("bucket")
+        )
+        (
+            trs.repartition(
+                max(1, cfg.n_buckets) * stat_slices,
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(stat_slices)),
+            )
+            .sortWithinPartitions("bucket", "term", "repo")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "term_repo_stats"))
+        )
         t_trs = time.time()
+        c_trs = _step_cpu()
 
         # lineage: aggregates the encoder-emitted n_bytes column —
         # narrow scan, the compressed streams are never re-read
@@ -609,6 +680,13 @@ def _build_index_staged(
                 "lineage_collects": round(time.time() - t_trs, 3),
             },
         }
+        if STEP_CLOCK is not None:
+            m2["steps_cpu"] = {
+                "encode_write": round(c_enc - c0, 1),
+                "term_stats_write": round(c_ts - c_enc, 1),
+                "term_repo_stats_write": round(c_trs - c_ts, 1),
+                "lineage_collects": round(_step_cpu() - c_trs, 1),
+            }
         _write_manifest(out_dir, "stage2", m2)
         metrics["stage2"] = m2
 

@@ -1,6 +1,7 @@
 """Index maintenance: repo-scoped purge (S8) and single-doc re-index
 (S9) — the reference's ``PageProcessorService`` surface re-expressed
-as partition-level parquet rewrites.
+as partition-level parquet rewrites plus a Lucene-style deletion
+vector.
 
 Reference semantics:
 
@@ -21,24 +22,41 @@ fresh build compare by (repo, path) identity — except the pure-edit
 case (same doc set, changed content), where ids coincide and the
 comparison is exact (tests/test_maintain.py pins both).
 
-Scale shape:
+Scale shape (the 100x contract — VERDICT r4 #3/#4):
 
-- ``delete_repo``: a freshly built repo's doc ids are contiguous
-  (builder rank order), so the encoded-run rewrite is a NARROW
-  ``mapInPandas`` pass that forwards every run whose [block_first,
-  block_last] range misses the repo's id range untouched (metadata
-  check, no decode) and re-encodes only overlapping runs.  When
-  ``reindex_doc`` has broken contiguity (new doc in an existing repo
-  gets max_id+1), the same pass filters by exact membership in the
-  repo's sorted id array instead — never by the widened range.  No
-  shuffle either way; the flat-postings filter pass prunes on the
-  ``repo`` column's row-group statistics and rewrites within existing
-  bucket dirs (no repartition).
+- ``delete_repo`` (default ``mode="tombstone"``) touches ONLY
+  metadata + the per-doc/per-repo stats relations: it records the
+  purged id set in ``meta.json`` (contiguous [lo, hi] range when the
+  builder's rank order gave the repo one, exact id list otherwise),
+  removes the repo's doc_stats and term_repo_stats rows, and leaves
+  the postings untouched.  Every query path filters decoded postings
+  through the tombstone set (``operators/wand.ExcludeSet``; the flat
+  paths push an equivalent ``NOT (repo = R AND doc_id <= hi)``
+  predicate) — exactly Lucene's deleted-docs semantics, including the
+  documented staleness: global df/cf/n_docs/avgdl reflect the
+  pre-delete corpus until ``compact()``.  The purge cost is O(stats
+  metadata) — the doc_stats/term_repo_stats filter-rewrites touch the
+  ~10^-3-of-index metadata slice, never the postings mass — where the
+  reference analog is an indexed cascade delete, not a table rewrite.
+- ``compact()`` applies the recorded tombstones physically: one
+  metadata-pruned keep-or-reencode pass over the encoded runs
+  (untouched runs are forwarded without decoding), one narrow filter
+  pass over the flat postings, then a full stats recompute — i.e.
+  today's eager rewrite, made explicit and amortizable over many
+  deletes.  ``delete_repo(mode="eager")`` is tombstone+compact in one
+  call; the two routes produce content-identical indexes (tested).
 - ``reindex_doc``: the doc's old terms come from a driver-side pyarrow
   read (row-group pruning on doc_id); only the buckets that old+new
-  terms hash into are rewritten and re-encoded — the rest of the index
-  is untouched (the "rebuild only the term-buckets a doc touches"
-  contract).
+  terms hash into are rewritten — flat postings, encoded runs,
+  term_stats AND term_repo_stats are all bucket-partitioned, so every
+  write is a partition-dir swap scoped to the affected buckets.  The
+  doclen sentinel is upserted by rewriting the ONE parquet file that
+  holds the old row (driver-side pyarrow) plus a one-row append — not
+  by streaming all n_docs sentinels through Spark.  Corpus scalars
+  (n_docs/sum_dl/avgdl) update incrementally in meta.json from the
+  replaced doc_stats row.  Total write volume is O(touched buckets +
+  one sentinel file + one doc_stats partition), independent of corpus
+  size (tests assert the changed-file set).
 
 Directory swaps are write-to-tmp + rename — single-filesystem atomic
 enough for this engine; a lakehouse deployment would commit the same
@@ -51,6 +69,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -64,8 +83,14 @@ from searchengine_spark.index.builder import (
     ANALYZED_SCHEMA,
     DOC_ROW_BUCKET,
     _footer_rowcounts,
+    shuffle_partitions,
 )
-from searchengine_spark.index.format import POSTING_RUN_SCHEMA, encode_blocks
+from searchengine_spark.index.format import (
+    POSTING_RUN_SCHEMA,
+    encode_blocks,
+    encode_partition_arrow,
+)
+from searchengine_spark.operators.wand import ExcludeSet
 
 #: explicit read schemas so post-mutation reads work even when a
 #: mutation emptied a directory (schema inference needs >= 1 file)
@@ -85,18 +110,58 @@ def _read_flat(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def flat_survivors(spark: SparkSession, flat_path: str, repo: str) -> DataFrame:
+#: shuffle-partition count with a non-numeric fallback (the conf can be
+#: 'auto' under managed AQE modes — ADVICE r4); single source of truth
+#: in index/builder.py
+_n_shuffle = shuffle_partitions
+
+
+def flat_survivors(
+    spark: SparkSession, flat_path: str, repo: str, max_id: int | None = None
+) -> DataFrame:
     """The flat-postings rows surviving a repo purge — a NARROW plan
     (no repartition/Exchange): each input split keeps its bucket value,
     so the downstream ``partitionBy("bucket")`` write routes rows back
-    to their hive dirs without a shuffle (tests assert the plan)."""
-    return spark.read.parquet(flat_path).where(F.col("repo") != repo)
+    to their hive dirs without a shuffle (tests assert the plan).
+
+    ``max_id``: the repo's max doc id AT TOMBSTONE TIME.  Docs of the
+    same repo name added after the tombstone get ids above it
+    (meta.json's high-water mark only grows), so the keep-condition
+    ``NOT (repo = R AND doc_id <= max_id)`` deletes exactly the
+    tombstoned id set even if the repo was re-added since — a plain
+    ``repo != R`` filter would eat the re-added docs."""
+    df = spark.read.parquet(flat_path)
+    if max_id is None:
+        return df.where(F.col("repo") != repo)
+    return df.where(
+        ~((F.col("repo") == repo) & (F.col("doc_id") <= max_id))
+    )
 
 
 def _load_meta(index_dir: str) -> tuple[dict, IndexConfig]:
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     return meta, IndexConfig(**meta["config"])
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def _ensure_schema_file(df: DataFrame, tmp: str) -> None:
+    """A zero-row dynamic-partition write emits NO data files, leaving
+    a directory bare spark.read cannot infer a schema from.  When that
+    happens (e.g. deleting the last repo empties a relation), append
+    one empty schema-carrying parquet file so every reader keeps
+    working."""
+    has_file = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(tmp)
+        for f in files
+    )
+    if not has_file:
+        df.limit(0).write.mode("append").parquet(tmp)
 
 
 def _swap_dir(tmp: str, live: str) -> None:
@@ -132,9 +197,169 @@ def _record_mutation(index_dir: str, payload: dict) -> None:
             os.remove(p)
 
 
+# ---------------------------------------------------------------------------
+# tombstones (the deletion vector recorded by delete_repo)
+# ---------------------------------------------------------------------------
+
+def tombstones(meta: dict) -> list[dict]:
+    return meta.get("tombstones") or []
+
+
+def tombstone_exclude(meta: dict) -> ExcludeSet | None:
+    """meta.json tombstones -> the scorer-side exclusion set (contiguous
+    repos contribute ranges, non-contiguous ones their exact id
+    arrays)."""
+    tombs = tombstones(meta)
+    if not tombs:
+        return None
+    ranges = [(t["lo"], t["hi"]) for t in tombs if not t.get("ids")]
+    id_arrays = [
+        np.asarray(t["ids"], dtype=np.uint64) for t in tombs if t.get("ids")
+    ]
+    ids = np.sort(np.concatenate(id_arrays)) if id_arrays else None
+    return ExcludeSet(ranges, ids)
+
+
+def tombstone_flat_cond(meta: dict):
+    """Spark keep-condition over the flat postings equivalent to the
+    tombstone id set: ``NOT (repo = R AND doc_id <= hi)`` per
+    tombstone (exact — see :func:`flat_survivors` on why the id bound
+    makes repo-name reuse safe).  None when no tombstones."""
+    cond = None
+    for t in tombstones(meta):
+        c = ~((F.col("repo") == t["repo"]) & (F.col("doc_id") <= t["hi"]))
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def tombstone_pads_filter(meta: dict):
+    """pyarrow.dataset form of :func:`tombstone_flat_cond` for the
+    driver-side pruned flat reads.  None when no tombstones."""
+    import pyarrow.dataset as pads
+
+    cond = None
+    for t in tombstones(meta):
+        c = ~((pads.field("repo") == t["repo"]) & (pads.field("doc_id") <= t["hi"]))
+        cond = c if cond is None else cond & c
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# stats rewrite (bucket-partitioned, partition-scoped)
+# ---------------------------------------------------------------------------
+
+def _stats_partitioned(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith("bucket=") for e in os.listdir(path)
+    )
+
+
+def _write_stats_rel(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    cfg: IndexConfig,
+    buckets: list[int] | None,
+) -> None:
+    """Write a stats relation bucket-partitioned and term-sorted, then
+    swap it in: whole-dir when ``buckets`` is None, affected subdirs
+    only otherwise.  The (bucket, term-hash-slice) repartition spreads
+    each bucket over several tasks (no single-key funnel at head-bucket
+    mass) and the explicit sort both satisfies the dynamic-partition
+    writer's required ordering and pins term-sorted files (tight term
+    row-group statistics for the driver-side point lookups)."""
+    slices = max(1, -(-4 * _n_shuffle(spark) // max(cfg.n_buckets, 1)))
+    n_parts = max(1, (len(buckets) if buckets is not None else cfg.n_buckets)) * slices
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(
+            n_parts, "bucket", F.pmod(F.xxhash64("term"), F.lit(slices))
+        )
+        .sortWithinPartitions(*sort_cols)
+        .write.partitionBy("bucket")
+        .parquet(tmp)
+    )
+    if buckets is None:
+        _ensure_schema_file(df, tmp)
+        _swap_dir(tmp, path)
+    else:
+        _swap_subdirs(tmp, path, [f"bucket={b}" for b in buckets])
+
+
+def _rewrite_stats(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: list[int] | None = None,
+    n_buckets: int | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Recompute term_stats / term_repo_stats.
+
+    ``buckets=None`` -> full recompute (eager delete / compact).
+    Otherwise only the named buckets are recomputed from
+    PARTITION-PRUNED reads and swapped in as partition dirs — no read
+    or rewrite of the untouched vocabulary (VERDICT r4 #3a; the
+    incremental analog of the reference's per-lemma frequency
+    decrement, ``LemmaRepository.java:40-42``, done set-at-a-time).
+
+    ``meta``: when the index carries tombstones, the term_repo_stats
+    recompute (from flat postings, which tombstone mode leaves
+    physically intact) must exclude tombstoned docs so a purged repo's
+    rows are not resurrected.  term_stats recomputes from the runs
+    unfiltered — global df/cf stay Lucene-style stale until compact().
+    """
+    _, cfg = _load_meta(index_dir)
+    runs = _read_runs(spark, index_dir)
+    flat = _read_flat(spark, index_dir).where(F.col("bucket") >= 0)
+    if buckets is not None:
+        runs = runs.where(F.col("bucket").isin(buckets))
+        flat = flat.where(F.col("bucket").isin(buckets))
+    if meta is not None:
+        tcond = tombstone_flat_cond(meta)
+        if tcond is not None:
+            flat = flat.where(tcond)
+    new_ts = runs.groupBy("term").agg(
+        F.sum("df_run").alias("df"),
+        F.sum("cf_run").alias("cf"),
+        F.first("bucket").alias("bucket"),
+    )
+    new_trs = flat.groupBy("term", "repo").agg(
+        F.count("*").alias("df"), F.first("bucket").alias("bucket")
+    )
+
+    ts_path = os.path.join(index_dir, "term_stats")
+    trs_path = os.path.join(index_dir, "term_repo_stats")
+    if _stats_partitioned(ts_path) or buckets is None:
+        _write_stats_rel(spark, new_ts, ts_path, ["bucket", "term"], cfg, buckets)
+    else:  # legacy unpartitioned layout: keep-union full rewrite
+        keep_ts = spark.read.parquet(ts_path).where(~F.col("bucket").isin(buckets))
+        merged = keep_ts.unionByName(new_ts)
+        tmp = ts_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.parquet(tmp)
+        _swap_dir(tmp, ts_path)
+    if _stats_partitioned(trs_path) or buckets is None:
+        _write_stats_rel(
+            spark, new_trs, trs_path, ["bucket", "term", "repo"], cfg, buckets
+        )
+    else:  # legacy layout has no bucket column on trs
+        keep_trs = spark.read.parquet(trs_path).where(
+            ~F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").isin(buckets)
+        )
+        merged = keep_trs.unionByName(new_trs.drop("bucket"))
+        tmp = trs_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.parquet(tmp)
+        _swap_dir(tmp, trs_path)
+
+
 def _refresh_meta(spark: SparkSession, index_dir: str, meta: dict) -> dict:
-    """Recompute n_docs/avgdl/n_terms from the (tiny) sentinel and
-    term_stats relations after a mutation."""
+    """Recompute n_docs/sum_dl/avgdl/n_terms from the (tiny) sentinel
+    and term_stats relations — the FULL recompute used after corpus-
+    shaped mutations (eager delete, compact).  Single-doc reindex uses
+    the incremental :func:`_bump_meta_for_reindex` instead."""
     doclens = (
         _read_flat(spark, index_dir)
         .where(F.col("bucket") == DOC_ROW_BUCKET)
@@ -143,144 +368,102 @@ def _refresh_meta(spark: SparkSession, index_dir: str, meta: dict) -> dict:
     )
     n_docs = int(doclens["n"] or 0)
     meta["n_docs"] = n_docs
-    meta["avgdl"] = float(doclens["s"] or 0) / n_docs if n_docs else 0.0
+    meta["sum_dl"] = int(doclens["s"] or 0)
+    meta["avgdl"] = meta["sum_dl"] / n_docs if n_docs else 0.0
     meta["n_terms"] = sum(
         _footer_rowcounts(os.path.join(index_dir, "term_stats")).values()
     )
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
+    _write_meta(index_dir, meta)
     return meta
 
 
-def _rewrite_stats(
+def _bump_meta_for_reindex(
     spark: SparkSession,
     index_dir: str,
-    buckets: list[int] | None = None,
-    n_buckets: int | None = None,
-) -> None:
-    """Recompute term_stats / term_repo_stats.
-
-    ``buckets=None`` -> full recompute (delete_repo).  Otherwise only
-    the named buckets' terms are recomputed; other rows carry over —
-    the incremental analog of the reference's per-lemma frequency
-    decrement (``LemmaRepository.java:40-42``), done set-at-a-time.
-    """
-    runs = _read_runs(spark, index_dir)
-    flat = _read_flat(spark, index_dir).where(F.col("bucket") >= 0)
-    if buckets is not None:
-        runs = runs.where(F.col("bucket").isin(buckets))
-        flat = flat.where(F.col("bucket").isin(buckets))
-    new_ts = runs.groupBy("term").agg(
-        F.sum("df_run").alias("df"),
-        F.sum("cf_run").alias("cf"),
-        F.first("bucket").alias("bucket"),
+    meta: dict,
+    is_new: bool,
+    old_dl: int,
+    new_dl: int,
+) -> dict:
+    """O(1) corpus-scalar update for a single-doc reindex: the replaced
+    doc's old length comes from its doc_stats row, so n_docs/sum_dl/
+    avgdl never need a corpus scan (VERDICT r4 #3c).  n_terms comes
+    from term_stats parquet footers (driver-side metadata walk, no
+    job).  Falls back to the full recompute on pre-sum_dl meta."""
+    if "sum_dl" not in meta:
+        return _refresh_meta(spark, index_dir, meta)
+    meta["n_docs"] = int(meta["n_docs"]) + (1 if is_new else 0)
+    meta["sum_dl"] = int(meta["sum_dl"]) + new_dl - old_dl
+    meta["avgdl"] = meta["sum_dl"] / meta["n_docs"] if meta["n_docs"] else 0.0
+    meta["n_terms"] = sum(
+        _footer_rowcounts(os.path.join(index_dir, "term_stats")).values()
     )
-    new_trs = flat.groupBy("term", "repo").agg(F.count("*").alias("df"))
-
-    ts_path = os.path.join(index_dir, "term_stats")
-    trs_path = os.path.join(index_dir, "term_repo_stats")
-    if buckets is not None:
-        keep_ts = spark.read.parquet(ts_path).where(~F.col("bucket").isin(buckets))
-        new_ts = keep_ts.unionByName(new_ts)
-        keep_trs = spark.read.parquet(trs_path).where(
-            ~F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").isin(buckets)
-        )
-        new_trs = keep_trs.unionByName(new_trs)
-    for df, path in ((new_ts, ts_path), (new_trs, trs_path)):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.parquet(tmp)
-        _swap_dir(tmp, path)
+    _write_meta(index_dir, meta)
+    return meta
 
 
 # ---------------------------------------------------------------------------
-# S8: repo-scoped purge
+# physical postings purge (shared by eager delete and compact)
 # ---------------------------------------------------------------------------
 
-def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
-    """Delete every document of ``repo`` from the index in place.
+def _purge_postings(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig, tombs: list[dict]
+) -> None:
+    """Physically remove the tombstoned docs from the flat postings and
+    the encoded runs — ONE pass over each relation regardless of how
+    many tombstones accumulated.
 
-    Returns the mutation record.  See module docstring for the scale
-    shape (metadata-pruned run rewrite, no shuffle).
+    - flat (incl. the bucket=-1 doclen sentinels): a NARROW keep-filter
+      pass (``NOT (repo = R AND doc_id <= hi)`` per tombstone — exact,
+      see :func:`flat_survivors`); input splits keep their bucket, so
+      the partitioned rewrite needs no Exchange and the predicate
+      prunes row groups via statistics.
+    - runs: a narrow keep-or-reencode ``mapInPandas`` pass; the
+      combined :class:`ExcludeSet`'s block metadata check forwards
+      every untouched run without decoding it, and only runs whose
+      [first, last] ranges overlap a tombstone are decoded, filtered,
+      and re-encoded.  Non-contiguous id arrays ride a Spark broadcast,
+      never task closures (VERDICT r3 #6).
     """
-    t0 = time.time()
-    meta, cfg = _load_meta(index_dir)
-    ds_path = os.path.join(index_dir, "doc_stats")
-    ds = spark.read.parquet(ds_path)
-    bounds = ds.where(F.col("repo") == repo).agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
-    ).collect()[0]
-    if not bounds["n"]:
-        return {"op": "delete_repo", "repo": repo, "deleted_docs": 0}
-    lo, hi, n = int(bounds["lo"]), int(bounds["hi"]), int(bounds["n"])
-    # A freshly built repo's ids are contiguous (builder rank order), so
-    # runs prune by [block_first, block_last] alone.  reindex_doc can
-    # break contiguity (a new doc in an existing repo gets max_id+1);
-    # then the rewrite filters by exact membership in the repo's sorted
-    # id array instead (repo-sized, broadcast to executors) — NEVER by
-    # the widened [lo, hi] range, which would delete other repos'
-    # postings.
-    contiguous = hi - lo + 1 == n
-    # non-contiguous repo: ship the sorted id array to executors as a
-    # Spark BROADCAST (torrent-distributed once per job), not inside
-    # every task's serialized closure — a 10^9-doc repo would otherwise
-    # pay a multi-GB closure per task (VERDICT r3 #6)
-    ids_bc = None
-    if not contiguous:
-        repo_ids = np.sort(
-            np.array(
-                [
-                    r["doc_id"]
-                    for r in ds.where(F.col("repo") == repo)
-                    .select("doc_id")
-                    .collect()
-                ],
-                dtype=np.int64,
-            )
-        )
-        ids_bc = spark.sparkContext.broadcast(repo_ids)
-
-    # flat postings (incl. bucket=-1 doclen sentinels): filter pass.
-    # NARROW: input splits already live in bucket=... hive dirs, so the
-    # dynamic-partition write routes surviving rows back to their dirs
-    # without any repartition/Exchange (the repo filter prunes via
-    # row-group statistics).
     flat_path = os.path.join(index_dir, "stage1_postings")
     tmp = flat_path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    flat_survivors(spark, flat_path, repo).write.partitionBy("bucket").parquet(tmp)
+    df = spark.read.parquet(flat_path)
+    for t in tombs:
+        df = df.where(~((F.col("repo") == t["repo"]) & (F.col("doc_id") <= t["hi"])))
+    df.write.partitionBy("bucket").parquet(tmp)
+    _ensure_schema_file(df, tmp)
     _swap_dir(tmp, flat_path)
 
-    # encoded runs: narrow keep-or-reencode pass, no shuffle
+    ranges = [(t["lo"], t["hi"]) for t in tombs if not t.get("ids")]
+    id_arrays = [
+        np.asarray(t["ids"], dtype=np.uint64) for t in tombs if t.get("ids")
+    ]
+    ids = np.sort(np.concatenate(id_arrays)) if id_arrays else None
+    ids_bc = spark.sparkContext.broadcast(ids) if ids is not None else None
     block = cfg.block_size
+    out_cols = [f.strip().split(" ")[0] for f in POSTING_RUN_SCHEMA.split(",")]
 
     def rewrite_runs(batches):
         from searchengine_spark.index.format import decode_run
 
-        repo_ids = ids_bc.value if ids_bc is not None else None
+        ex = ExcludeSet(ranges, ids_bc.value if ids_bc is not None else None)
         for pdf in batches:
-            run_first = pdf["block_first"].map(lambda a: a[0])
-            run_last = pdf["block_last"].map(lambda a: a[-1])
-            if repo_ids is None:
-                keep_mask = (run_last < lo) | (run_first > hi)
-            else:  # keep iff no repo id falls inside the run's range
-                lo_pos = np.searchsorted(repo_ids, run_first.to_numpy())
-                hi_pos = np.searchsorted(
-                    repo_ids, run_last.to_numpy(), side="right"
-                )
-                keep_mask = pd.Series(hi_pos <= lo_pos, index=pdf.index)
-            out = [pdf[keep_mask]]
-            for _, row in pdf[~keep_mask].iterrows():
+            first = np.fromiter(
+                (a[0] for a in pdf["block_first"]), dtype=np.uint64, count=len(pdf)
+            )
+            last = np.fromiter(
+                (a[-1] for a in pdf["block_last"]), dtype=np.uint64, count=len(pdf)
+            )
+            touch = pd.Series(ex.overlaps(first, last), index=pdf.index)
+            out = [pdf[~touch]]
+            for i, row in pdf[touch].iterrows():
                 docs, tfs, dls = decode_run(row)
-                docs = docs.astype(np.int64)
-                if repo_ids is None:
-                    m = (docs < lo) | (docs > hi)
-                else:
-                    pos = np.minimum(
-                        np.searchsorted(repo_ids, docs), repo_ids.size - 1
-                    )
-                    m = repo_ids[pos] != docs
+                m = ex.keep(docs.astype(np.uint64))
                 if not m.any():
+                    continue
+                if m.all():  # block-metadata false positive: forward as-is
+                    out.append(pdf.loc[[i]])
                     continue
                 enc = encode_blocks(
                     docs[m].astype(np.uint64), tfs[m].astype(np.int64),
@@ -290,37 +473,161 @@ def delete_repo(spark: SparkSession, index_dir: str, repo: str) -> dict:
                 out.append(pd.DataFrame([enc]))
             res = pd.concat(out, ignore_index=True) if len(out) > 1 else out[0]
             if len(res):
-                yield res[
-                    [f.strip().split(" ")[0] for f in POSTING_RUN_SCHEMA.split(",")]
-                ]
+                yield res[out_cols]
 
     runs_path = os.path.join(index_dir, "postings")
     tmp = runs_path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(runs_path).mapInPandas(
+    kept_runs = spark.read.parquet(runs_path).mapInPandas(
         rewrite_runs, schema=POSTING_RUN_SCHEMA
-    ).write.partitionBy("bucket").parquet(tmp)
+    )
+    kept_runs.write.partitionBy("bucket").parquet(tmp)
+    _ensure_schema_file(spark.createDataFrame([], POSTING_RUN_SCHEMA), tmp)
     _swap_dir(tmp, runs_path)
     if ids_bc is not None:
         ids_bc.unpersist()
 
-    _rewrite_stats(spark, index_dir)
 
+def _purge_doc_stats(spark: SparkSession, index_dir: str, repo: str, hi: int) -> None:
+    ds_path = os.path.join(index_dir, "doc_stats")
+    ds = spark.read.parquet(ds_path)
     tmp = ds_path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    keep_ds = ds.where(F.col("repo") != repo).write
+    keep = ds.where(~((F.col("repo") == repo) & (F.col("doc_id") <= hi)))
+    w = keep.write
     if "ds_part" in ds.columns:  # preserve the partitioned layout
-        keep_ds = keep_ds.partitionBy("ds_part")
-    keep_ds.parquet(tmp)
+        w = w.partitionBy("ds_part")
+    w.parquet(tmp)
+    _ensure_schema_file(keep, tmp)
     _swap_dir(tmp, ds_path)
 
+
+def _purge_term_repo_stats(spark: SparkSession, index_dir: str, repo: str) -> None:
+    """Drop one repo's rows from term_repo_stats (the per-repo stats
+    dimension — removed at tombstone time so repo-scoped planning and
+    the statistics surface stop seeing the repo immediately).  O(vocab
+    x repos) filter rewrite, preserving whichever layout is on disk."""
+    trs_path = os.path.join(index_dir, "term_repo_stats")
+    trs = spark.read.parquet(trs_path)
+    keep = trs.where(F.col("repo") != repo)
+    tmp = trs_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = keep.write
+    if _stats_partitioned(trs_path):
+        w = w.partitionBy("bucket")
+    w.parquet(tmp)
+    _ensure_schema_file(keep, tmp)
+    _swap_dir(tmp, trs_path)
+
+
+# ---------------------------------------------------------------------------
+# S8: repo-scoped purge
+# ---------------------------------------------------------------------------
+
+def delete_repo(
+    spark: SparkSession, index_dir: str, repo: str, mode: str = "tombstone"
+) -> dict:
+    """Delete every document of ``repo`` from the index.
+
+    ``mode="tombstone"`` (default): record the repo's doc-id set as a
+    deletion vector in meta.json and purge only the per-doc/per-repo
+    stats relations — O(repo stats), the postings are untouched and
+    every query path filters the tombstoned ids out (Lucene deleted-
+    docs semantics; global df/cf/n_docs/avgdl stay pre-delete until
+    :func:`compact`).  ``mode="eager"``: tombstone + compact in one
+    call — the full physical rewrite (the pre-r5 behavior).
+    Returns the mutation record.
+    """
+    t0 = time.time()
+    meta, cfg = _load_meta(index_dir)
+    ds_path = os.path.join(index_dir, "doc_stats")
+    ds = spark.read.parquet(ds_path)
+    bounds = ds.where(F.col("repo") == repo).agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count("*").alias("n"),
+        F.sum("doclen").alias("sum_dl"),
+    ).collect()[0]
+    if not bounds["n"]:
+        return {"op": "delete_repo", "repo": repo, "deleted_docs": 0}
+    lo, hi, n = int(bounds["lo"]), int(bounds["hi"]), int(bounds["n"])
+    contiguous = hi - lo + 1 == n
+    tomb = {
+        "repo": repo,
+        "lo": lo,
+        "hi": hi,
+        "n": n,
+        "sum_dl": int(bounds["sum_dl"] or 0),
+        # exact id list only when maintenance broke contiguity (bounded
+        # by the repo's own doc count); contiguous repos — the builder
+        # norm — carry just the range
+        "ids": None,
+    }
+    if not contiguous:
+        tomb["ids"] = sorted(
+            int(r["doc_id"])
+            for r in ds.where(F.col("repo") == repo).select("doc_id").collect()
+        )
+
+    # per-doc / per-repo stats rows go now in BOTH modes (the repo must
+    # vanish from statistics and repo-scoped planning immediately)
+    _purge_doc_stats(spark, index_dir, repo, hi)
+    _purge_term_repo_stats(spark, index_dir, repo)
+
+    if mode == "tombstone":
+        meta.setdefault("tombstones", []).append(tomb)
+        _write_meta(index_dir, meta)
+        rec = {
+            "op": "delete_repo",
+            "mode": "tombstone",
+            "repo": repo,
+            "deleted_docs": n,
+            "doc_id_range": [lo, hi],
+            "contiguous": contiguous,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _record_mutation(index_dir, rec)
+        return rec
+
+    # eager: physical purge + full stats recompute + meta refresh.
+    # Any PRIOR tombstones are compacted along the way — an eager
+    # delete must never silently drop an unapplied deletion vector.
+    _purge_postings(spark, index_dir, cfg, tombstones(meta) + [tomb])
+    meta.pop("tombstones", None)
+    _rewrite_stats(spark, index_dir, meta=meta)
     _refresh_meta(spark, index_dir, meta)
     rec = {
         "op": "delete_repo",
+        "mode": "eager",
         "repo": repo,
         "deleted_docs": n,
         "doc_id_range": [lo, hi],
         "contiguous": contiguous,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    _record_mutation(index_dir, rec)
+    return rec
+
+
+def compact(spark: SparkSession, index_dir: str) -> dict:
+    """Apply every recorded tombstone physically: purge the flat
+    postings and encoded runs (one pass each, block-metadata pruned),
+    recompute term_stats/term_repo_stats, refresh the corpus scalars,
+    and clear the deletion vector.  The result is content-identical to
+    having run ``delete_repo(mode="eager")`` for each repo (tested)."""
+    t0 = time.time()
+    meta, cfg = _load_meta(index_dir)
+    tombs = tombstones(meta)
+    if not tombs:
+        return {"op": "compact", "tombstones_applied": 0}
+    _purge_postings(spark, index_dir, cfg, tombs)
+    meta.pop("tombstones", None)
+    _rewrite_stats(spark, index_dir, meta=meta)
+    _refresh_meta(spark, index_dir, meta)
+    rec = {
+        "op": "compact",
+        "tombstones_applied": len(tombs),
+        "deleted_docs": int(sum(t["n"] for t in tombs)),
         "wall_sec": round(time.time() - t0, 3),
     }
     _record_mutation(index_dir, rec)
@@ -406,6 +713,67 @@ def _old_terms(index_dir: str, doc_id: int) -> set[str]:
     return set(tbl["term"].to_pylist())
 
 
+def _upsert_sentinel(index_dir: str, doc_id: int, dl: int, repo: str) -> None:
+    """Replace/add the doc's doclen sentinel row in
+    ``stage1_postings/bucket=-1`` by rewriting ONLY the parquet file
+    that holds the old row (located via row-group statistics on
+    doc_id) and appending a one-row file — driver-side pyarrow, no
+    Spark job, no rewrite of the other n_docs-1 sentinels (VERDICT r4
+    #3b).  The builder keeps each sentinel file internally doc_id-
+    sorted, so statistics prune the probe to one row group per file."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(index_dir, "stage1_postings", f"bucket={DOC_ROW_BUCKET}")
+    os.makedirs(sdir, exist_ok=True)
+    ds = pads.dataset(sdir, format="parquet")
+    schema = ds.schema
+    for frag in ds.get_fragments():
+        hit = False
+        try:
+            for rg in frag.row_groups:
+                s = (rg.statistics or {}).get("doc_id")
+                if (
+                    s
+                    and s.get("min") is not None
+                    and s["min"] <= doc_id <= s["max"]
+                ):
+                    hit = True
+                    break
+        except Exception:  # noqa: BLE001 — stats unavailable: scan it
+            hit = True
+        if not hit:
+            continue
+        tbl = frag.to_table()
+        mask = pc.equal(tbl["doc_id"], doc_id)
+        if not pc.any(mask).as_py():
+            continue
+        keep = tbl.filter(pc.invert(mask))
+        tmp = frag.path + ".tmp"
+        pq.write_table(keep, tmp)
+        os.replace(tmp, frag.path)
+        # drop Hadoop's checksum sidecar: the original file came from
+        # Spark's LocalFS writer, whose .crc no longer matches the
+        # rewritten bytes and would fail every subsequent Spark read
+        crc = os.path.join(
+            os.path.dirname(frag.path),
+            "." + os.path.basename(frag.path) + ".crc",
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        break
+    new_tbl = pa.Table.from_pylist(
+        [{"doc_id": doc_id, "term": "", "tf": 0, "dl": dl, "repo": repo}],
+        schema=schema,
+    )
+    pq.write_table(
+        new_tbl,
+        os.path.join(sdir, f"sentinel-upsert-{doc_id}-{uuid.uuid4().hex}.parquet"),
+    )
+
+
 def reindex_doc(
     spark: SparkSession,
     index_dir: str,
@@ -417,8 +785,11 @@ def reindex_doc(
 ) -> dict:
     """Re-index one document in place (add it if new).
 
-    Only the term buckets the old+new terms hash into are rewritten
-    and re-encoded; everything else is untouched.
+    Every write is scoped to what the doc touches: the term buckets
+    its old+new terms hash into (flat postings, encoded runs,
+    term_stats, term_repo_stats — all bucket-partition-dir swaps), one
+    sentinel parquet file, one doc_stats partition, and meta.json —
+    O(touched), independent of corpus size (VERDICT r4 #3).
     """
     t0 = time.time()
     meta, cfg = _load_meta(index_dir)
@@ -434,6 +805,7 @@ def reindex_doc(
         commit = commit if commit is not None else existing["commit"]
         lang = lang if lang is not None else existing["lang"]
         old_terms = _old_terms(index_dir, doc_id)
+        old_dl = int(existing.get("doclen") or 0)
         is_new = False
     else:
         hwm = meta.get("max_doc_id")
@@ -443,6 +815,7 @@ def reindex_doc(
         commit = commit or ""
         lang = lang or ""
         old_terms = set()
+        old_dl = 0
         is_new = True
     meta["max_doc_id"] = max(int(meta.get("max_doc_id", -1)), doc_id)
 
@@ -451,34 +824,53 @@ def reindex_doc(
     affected = sorted(
         {bucket_of(t, cfg.n_buckets) for t in (old_terms | new_terms)}
     )
-    touched_dirs = [f"bucket={b}" for b in affected] + [f"bucket={DOC_ROW_BUCKET}"]
 
-    # 1. flat postings: rewrite ONLY the affected bucket dirs (+ the
-    #    sentinel dir) — partition pruning on read, dir swap on write
+    # 1. flat postings: rewrite ONLY the affected bucket dirs —
+    #    partition pruning on read, dir swap on write.  Mirrors the
+    #    builder's write shape (ADVICE r4): (bucket, doc-slice)
+    #    repartition so no single bucket funnels through one task, and
+    #    the explicit (bucket, term, doc_id) sort keeps every file
+    #    term-sorted (the invariant _match_stats/J2 row-group pruning
+    #    relies on).  The doclen sentinel is NOT part of this job — it
+    #    is upserted file-scoped in step 1b.
     flat_path = os.path.join(index_dir, "stage1_postings")
-    new_df = spark.createDataFrame(
-        new_rows, "doc_id long, term string, tf int, dl int, repo string"
-    ).withColumn(
-        "bucket",
-        F.when(F.col("term") == "", F.lit(DOC_ROW_BUCKET))
-        .otherwise(F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
-        .cast("int"),
-    )
-    keep = spark.read.parquet(flat_path).where(
-        F.col("bucket").isin(affected + [DOC_ROW_BUCKET])
-        & (F.col("doc_id") != doc_id)
-    )
-    tmp = flat_path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    keep.unionByName(new_df).repartition(max(len(affected), 1), "bucket").write.partitionBy(
-        "bucket"
-    ).parquet(tmp)
-    _swap_subdirs(tmp, flat_path, touched_dirs)
+    if affected:
+        new_df = spark.createDataFrame(
+            new_rows[new_rows["term"] != ""],
+            "doc_id long, term string, tf int, dl int, repo string",
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"),
+        )
+        keep = spark.read.parquet(flat_path).where(
+            F.col("bucket").isin(affected) & (F.col("doc_id") != doc_id)
+        )
+        slices = max(1, -(-4 * _n_shuffle(spark) // max(cfg.n_buckets, 1)))
+        tmp = flat_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            keep.unionByName(new_df)
+            .repartition(
+                len(affected) * slices,
+                F.col("bucket"),
+                F.pmod(F.col("doc_id"), F.lit(slices)),
+            )
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+        _swap_subdirs(tmp, flat_path, [f"bucket={b}" for b in affected])
 
-    # 2. re-encode runs for the affected buckets only (stage-2 kernel
-    #    over a partition-pruned read)
-    from searchengine_spark.index.format import encode_partition
+    # 1b. doclen sentinel: file-scoped driver-side upsert
+    dl = int(new_rows.loc[new_rows["term"] == "", "dl"].iloc[0])
+    _upsert_sentinel(index_dir, doc_id, dl, repo)
 
+    # 2. re-encode runs for the affected buckets only — the stage-2
+    #    Arrow kernel over a partition-pruned read, with the builder's
+    #    exact shuffle/sort shape (ADVICE r4): (term, salt) keys for
+    #    balance, (bucket, term, salt, doc_id) pre-sort for the
+    #    encoder, and the post-encode (bucket, term) sort that pins
+    #    term-sorted output files
     runs_path = os.path.join(index_dir, "postings")
     if affected:
         salted = (
@@ -490,24 +882,28 @@ def reindex_doc(
         block = cfg.block_size
 
         def _encode(batches):
-            return encode_partition(batches, block)
+            return encode_partition_arrow(batches, block)
 
         tmp = runs_path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            salted.repartition(len(affected), "bucket", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_encode, schema=POSTING_RUN_SCHEMA)
+            salted.repartition(min(len(affected) * 4, _n_shuffle(spark)), "term", "salt")
+            .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+            .mapInArrow(_encode, schema=POSTING_RUN_SCHEMA)
+            .sortWithinPartitions("bucket", "term")
             .write.partitionBy("bucket")
             .parquet(tmp)
         )
         _swap_subdirs(tmp, runs_path, [f"bucket={b}" for b in affected])
 
-    # 3. stats for affected buckets; 4. doc_stats row upsert
-    _rewrite_stats(spark, index_dir, buckets=affected, n_buckets=cfg.n_buckets)
+    # 3. stats for affected buckets (partition-dir-scoped recompute)
+    if affected:
+        _rewrite_stats(
+            spark, index_dir, buckets=affected, n_buckets=cfg.n_buckets, meta=meta
+        )
 
+    # 4. doc_stats row upsert
     store_content = "content" in ds.columns
-    dl = int(new_rows.loc[new_rows["term"] == "", "dl"].iloc[0])
     import hashlib
 
     new_stat = {
@@ -550,7 +946,8 @@ def reindex_doc(
         ds.where(F.col("doc_id") != doc_id).unionByName(stat_df).write.parquet(tmp)
         _swap_dir(tmp, ds_path)
 
-    _refresh_meta(spark, index_dir, meta)
+    # 5. corpus scalars: incremental, no scan
+    _bump_meta_for_reindex(spark, index_dir, meta, is_new, old_dl, dl)
     rec = {
         "op": "reindex_doc",
         "repo": repo,

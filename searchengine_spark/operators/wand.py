@@ -30,6 +30,56 @@ import numpy as np
 from searchengine_spark.index.format import decode_run
 
 
+class ExcludeSet:
+    """Tombstoned doc ids (a Lucene-style deletion vector, applied at
+    read time): contiguous ``(lo, hi)`` ranges — the shape a repo purge
+    leaves when the builder's rank order gave it a contiguous id block
+    — plus an optional sorted id array for repos whose contiguity
+    maintenance had broken.  ``delete_repo(mode="tombstone")`` records
+    these in meta.json; every scoring path filters decoded postings
+    through :meth:`keep` until ``compact()`` rewrites them away
+    (index/maintain.py).  Unlike ``TermRuns.doc_range`` (an INCLUDE
+    scope that can prune whole blocks), exclusion cannot skip blocks —
+    a block overlapping a tombstone may still hold live docs — so this
+    is a post-decode mask only."""
+
+    __slots__ = ("ranges", "ids")
+
+    def __init__(self, ranges=(), ids=None):
+        self.ranges = [(int(lo), int(hi)) for lo, hi in ranges]
+        self.ids = (
+            np.asarray(ids, dtype=np.uint64) if ids is not None and len(ids) else None
+        )
+
+    def __bool__(self) -> bool:
+        return bool(self.ranges) or self.ids is not None
+
+    def keep(self, d: np.ndarray) -> np.ndarray:
+        """Bool mask over doc ids ``d``: True = NOT tombstoned."""
+        m = np.ones(d.shape, dtype=bool)
+        for lo, hi in self.ranges:
+            m &= (d < np.uint64(lo)) | (d > np.uint64(hi))
+        if self.ids is not None:
+            pos = np.minimum(np.searchsorted(self.ids, d), self.ids.size - 1)
+            m &= self.ids[pos] != d
+        return m
+
+    def overlaps(self, first: np.ndarray, last: np.ndarray) -> np.ndarray:
+        """Per-interval bool over ``[first, last]`` id ranges: may the
+        interval contain a tombstoned id?  Used by ``compact()`` to
+        forward untouched posting runs without decoding them."""
+        first = np.asarray(first, dtype=np.uint64)
+        last = np.asarray(last, dtype=np.uint64)
+        m = np.zeros(first.shape, dtype=bool)
+        for lo, hi in self.ranges:
+            m |= (last >= np.uint64(lo)) & (first <= np.uint64(hi))
+        if self.ids is not None:
+            lo_pos = np.searchsorted(self.ids, first, side="left")
+            hi_pos = np.searchsorted(self.ids, last, side="right")
+            m |= hi_pos > lo_pos
+        return m
+
+
 def _bm25_scores(
     tfs: np.ndarray, dls: np.ndarray, idf: float, k1: float, b: float, avgdl: float
 ) -> np.ndarray:
@@ -68,10 +118,12 @@ class TermRuns:
         b: float,
         avgdl: float,
         doc_range: "tuple[int, int] | np.ndarray | None" = None,
+        exclude: "ExcludeSet | None" = None,
     ):
         self.rows = rows
         self.idf = idf
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.exclude = exclude if exclude else None
         if isinstance(doc_range, np.ndarray):
             self._ids = np.asarray(doc_range, dtype=np.uint64)
             self.doc_range = (
@@ -104,6 +156,13 @@ class TermRuns:
         return (last >= np.uint64(lo)) & (first <= np.uint64(hi))
 
     def _range_filter(self, d, t, l):
+        """Include-scope (doc_range) AND tombstone-exclusion mask.  All
+        scoring paths funnel decoded postings through here: decode_all
+        directly, the pruned-OR phase-B explicitly, and lookup's probe
+        docs transitively (probes come from another term's decode)."""
+        if self.exclude is not None and d.size:
+            m = self.exclude.keep(d)
+            d, t, l = d[m], t[m], l[m]
         if self.doc_range is None or d.size == 0:
             return d, t, l
         if self._ids is not None:
@@ -230,6 +289,7 @@ def score_salt_group(
     avgdl: float,
     prune: bool = True,
     doc_range: "tuple[int, int] | np.ndarray | None" = None,
+    exclude: "ExcludeSet | None" = None,
 ):
     """Score one salt group.  Returns (doc_ids, bm25, tf_sum) top-k.
 
@@ -241,9 +301,11 @@ def score_salt_group(
     — the per-site loop of SearchServiceImpl.java:74-82): a contiguous
     (lo, hi) range, or a sorted id array when maintenance broke the
     repo's contiguity (see TermRuns).
+    ``exclude``: tombstoned doc ids (delete_repo deletion vector) —
+    filtered out of every decode until ``compact()``.
     """
     terms = [
-        TermRuns(rows, term_meta[t], k1, b, avgdl, doc_range)
+        TermRuns(rows, term_meta[t], k1, b, avgdl, doc_range, exclude)
         for t, rows in term_rows.items()
     ]
     terms.sort(key=lambda tr: tr.df)  # rarest first (SearchServiceImpl:112)

@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from searchengine_spark.config import IndexConfig
 from searchengine_spark.functions.xxhash import bucket_of
-from searchengine_spark.operators.wand import score_salt_group
+from searchengine_spark.index.maintain import (
+    tombstone_exclude,
+    tombstone_flat_cond,
+    tombstone_pads_filter,
+)
+from searchengine_spark.operators.wand import ExcludeSet, score_salt_group
 from searchengine_spark.plans.planner import PlannedQuery, bm25_idf, plan_query
 from searchengine_spark.query.snippets import build_snippet
 from searchengine_spark.sources.corpus import load_corpus
@@ -63,9 +68,15 @@ class SearchEngine:
         self.avgdl = float(self.meta["avgdl"]) or 1.0
         self._runs_path = os.path.join(index_dir, "postings")
         self._flat_path = os.path.join(index_dir, "stage1_postings")
-        self._term_stats = spark.read.parquet(
-            os.path.join(index_dir, "term_stats")
-        )
+        #: deletion vector from meta.json tombstones (delete_repo in
+        #: tombstone mode) — every scoring path filters through it
+        #: until compact() clears it; None on a tombstone-free index
+        #: (the common case: zero overhead)
+        self._exclude = tombstone_exclude(self.meta)
+        #: Spark broadcast of the exclusion id array (non-contiguous
+        #: tombstones only) — the distributed scorer ships the handle,
+        #: never the array (same contract as _repo_ids_bc_cache)
+        self._exclude_ids_bc = None
         self._repo_scope_cache: dict[str, tuple[int, float, int, int]] = {}
         #: repos whose doc ids are NOT a contiguous block (maintenance
         #: added docs after the build) -> sorted id array for scoping
@@ -112,7 +123,7 @@ class SearchEngine:
 
     def refresh(self) -> None:
         """Drop every memoized view of the index (pyarrow datasets,
-        repo scopes, meta scalars, term_stats frame) and re-read
+        repo scopes, meta scalars, tombstone vector) and re-read
         meta.json — call on a live engine after a maintenance mutation
         (delete_repo / reindex_doc) instead of constructing a new
         SearchEngine."""
@@ -125,14 +136,18 @@ class SearchEngine:
             except Exception:
                 pass
         self._repo_ids_bc_cache.clear()
+        if self._exclude_ids_bc is not None:
+            try:
+                self._exclude_ids_bc.unpersist()
+            except Exception:
+                pass
+            self._exclude_ids_bc = None
         with open(os.path.join(self.index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.cfg = IndexConfig(**self.meta["config"])
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"]) or 1.0
-        self._term_stats = self.spark.read.parquet(
-            os.path.join(self.index_dir, "term_stats")
-        )
+        self._exclude = tombstone_exclude(self.meta)
 
     # ------------------------------------------------------------------
     # planning
@@ -150,8 +165,11 @@ class SearchEngine:
 
         if not terms:
             return {}
+        # hive=True: term_stats is bucket-partitioned (bucket is the
+        # dir key, exposed by hive discovery); on a legacy flat layout
+        # the same call reads bucket from the file columns
         tbl = self._read_table(
-            "term_stats",
+            "term_stats", hive=True,
             filter=pads.field("term").isin(terms),
             columns=["term", "df", "cf", "bucket"],
         )
@@ -209,10 +227,16 @@ class SearchEngine:
 
         if not terms:
             return {}
+        # bucket-partitioned layout: prune to the query terms' bucket
+        # dirs before the term/repo row-group filters (legacy flat
+        # layout has no bucket field — skip the partition filter)
+        filt = pads.field("term").isin(terms) & (pads.field("repo") == repo)
+        if "bucket" in self._dataset("term_repo_stats", hive=True).schema.names:
+            filt = filt & pads.field("bucket").isin(
+                sorted({self._bucket_of(t) for t in terms})
+            )
         tbl = self._read_table(
-            "term_repo_stats",
-            filter=pads.field("term").isin(terms) & (pads.field("repo") == repo),
-            columns=["term", "df"],
+            "term_repo_stats", hive=True, filter=filt, columns=["term", "df"]
         )
         return dict(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
 
@@ -306,6 +330,9 @@ class SearchEngine:
         )
         if repo is not None:
             flat = flat.where(F.col("repo") == repo)
+        tcond = tombstone_flat_cond(self.meta)
+        if tcond is not None:
+            flat = flat.where(tcond)
         idf_df = spark.createDataFrame(
             [(t, float(idfs[t])) for t in terms], "term string, idf double"
         )
@@ -382,6 +409,17 @@ class SearchEngine:
                 )
             ids_bc = self._repo_ids_bc_cache[repo]
             doc_range = None  # keep the array itself out of the closure
+        # tombstone deletion vector: ranges are tiny (ride the closure);
+        # a non-contiguous id array goes out as a broadcast handle
+        ex_ranges, ex_ids_bc = (), None
+        if self._exclude is not None:
+            ex_ranges = tuple(self._exclude.ranges)
+            if self._exclude.ids is not None:
+                if self._exclude_ids_bc is None:
+                    self._exclude_ids_bc = self.spark.sparkContext.broadcast(
+                        self._exclude.ids
+                    )
+                ex_ids_bc = self._exclude_ids_bc
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             term_rows: dict[str, list[dict]] = {}
@@ -393,9 +431,15 @@ class SearchEngine:
                      "bm25": pd.Series(dtype="float64"),
                      "tf_sum": pd.Series(dtype="int64")}
                 )
+            exclude = None
+            if ex_ranges or ex_ids_bc is not None:
+                exclude = ExcludeSet(
+                    ex_ranges, ex_ids_bc.value if ex_ids_bc is not None else None
+                )
             docs, bm, tf = score_salt_group(
                 term_rows, idfs, k, mode_and, k1, b, avgdl,
                 doc_range=ids_bc.value if ids_bc is not None else doc_range,
+                exclude=exclude,
             )
             return pd.DataFrame(
                 {"doc_id": docs.astype("int64"), "bm25": bm, "tf_sum": tf}
@@ -436,7 +480,8 @@ class SearchEngine:
             if mode_and and len(term_rows) < len(terms):
                 continue
             docs, bm, tf = score_salt_group(
-                term_rows, idfs, k, mode_and, k1, b, avgdl, doc_range=doc_range
+                term_rows, idfs, k, mode_and, k1, b, avgdl,
+                doc_range=doc_range, exclude=self._exclude,
             )
             outs.append(pd.DataFrame({"doc_id": docs.astype("int64"), "bm25": bm, "tf_sum": tf}))
         if not outs:
@@ -579,6 +624,9 @@ class SearchEngine:
             filt = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
             if repo is not None:
                 filt = filt & (pads.field("repo") == repo)
+            tfilt = tombstone_pads_filter(self.meta)
+            if tfilt is not None:
+                filt = filt & tfilt
             pdf = self._read_table(
                 "stage1_postings", hive=True,
                 filter=filt, columns=["doc_id", "term", "tf"],
@@ -598,6 +646,9 @@ class SearchEngine:
         )
         if repo is not None:
             flat = flat.where(F.col("repo") == repo)
+        tcond = tombstone_flat_cond(self.meta)
+        if tcond is not None:
+            flat = flat.where(tcond)
         per_doc = flat.groupBy("doc_id").agg(
             F.countDistinct("term").alias("n"),
             F.sum("tf").cast("long").alias("tf_sum"),

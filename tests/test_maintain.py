@@ -122,7 +122,7 @@ def test_delete_repo_matches_fresh_build_by_identity(spark, corpus_rows, tmp_pat
     assert len({r[0] for r in rows}) >= 3
     live = _build(spark, rows, tmp_path / "live")
     victim = rows[0][0]
-    rec = delete_repo(spark, live, victim)
+    rec = delete_repo(spark, live, victim, mode="eager")
     assert rec["deleted_docs"] == sum(1 for r in rows if r[0] == victim) > 0
 
     remaining = [r for r in rows if r[0] != victim]
@@ -201,7 +201,7 @@ def test_delete_last_repo_empties_index(spark, corpus_rows, tmp_path):
     file-less dirs)."""
     rows = [r for r in corpus_rows if r[0] == corpus_rows[0][0]][:10]
     live = _build(spark, rows, tmp_path / "live")
-    rec = delete_repo(spark, live, rows[0][0])
+    rec = delete_repo(spark, live, rows[0][0], mode="eager")
     assert rec["deleted_docs"] == len(rows)
     assert _term_stats(spark, live) == {}
     import json
@@ -289,7 +289,7 @@ def test_delete_repo_noncontiguous_matches_fresh_build(
         spark, live, repo=first_repo, path="src/added/extra.py",
         content="def extrafn(): return deletedsoon tokens here",
     )
-    rec = delete_repo(spark, live, first_repo)
+    rec = delete_repo(spark, live, first_repo, mode="eager")
     assert rec["contiguous"] is False
     assert rec["deleted_docs"] == sum(1 for r in rows if r[0] == first_repo) + 1
 
@@ -486,3 +486,266 @@ def test_snippets_on_contentless_index_via_pushdown_fallback(
     assert res["data"], "expected hits"
     for d in res["data"]:
         assert d["snippet"].startswith("...") and "<b>" in d["snippet"], d
+
+
+# ---------------------------------------------------------------------------
+# tombstoned delete + compact (VERDICT r4 #4): the default delete_repo
+# records a deletion vector in meta.json — O(repo stats), postings
+# untouched — queries exclude the docs immediately, and compact()
+# applies the vector physically with output identical to an eager
+# delete
+# ---------------------------------------------------------------------------
+
+def _file_snapshot(index_dir, rels):
+    """{relpath: (mtime, size)} of every DATA file (markers/checksum
+    sidecars excluded — the sentinel upsert legitimately drops a stale
+    .crc)."""
+    out = {}
+    for rel in rels:
+        base = os.path.join(index_dir, rel)
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                out[os.path.relpath(p, index_dir)] = (
+                    os.path.getmtime(p), os.path.getsize(p)
+                )
+    return out
+
+
+def _result_keys(eng, query, k=50, engine="flat"):
+    """Matched-doc identity set (repo, path) — BM25-independent, so a
+    tombstoned index (stale n_docs/avgdl by design) can be compared
+    against a fresh build of the remainder."""
+    df = eng.search_df(query, k=k, mode="and", engine=engine)
+    ids = [int(r["doc_id"]) for r in df.collect()]
+    metas = eng._doc_meta(ids, need_content=False)  # noqa: SLF001
+    return {(m["repo"], m["path"]) for m in metas.values()}
+
+
+def test_delete_repo_tombstone_is_metadata_cheap_and_excludes(
+    spark, corpus_rows, tmp_path
+):
+    """Default-mode delete: the postings relations and term_stats are
+    bit-untouched on disk (the deletion is a meta.json vector + per-doc/
+    per-repo stats purge), yet every query path excludes the repo's
+    docs immediately — Lucene deleted-docs semantics."""
+    import json
+
+    rows = _multi_repo_subset(corpus_rows)
+    repos = sorted({r[0] for r in rows})
+    victim = repos[0]
+    live = _build(spark, rows, tmp_path / "live")
+    heavy = ["stage1_postings", "postings", "term_stats"]
+    before = _file_snapshot(live, heavy)
+    rec = delete_repo(spark, live, victim)
+    assert rec["mode"] == "tombstone"
+    assert rec["deleted_docs"] == sum(1 for r in rows if r[0] == victim) > 0
+    assert _file_snapshot(live, heavy) == before
+
+    meta = json.load(open(os.path.join(live, "meta.json")))
+    assert len(meta["tombstones"]) == 1
+    t = meta["tombstones"][0]
+    assert t["repo"] == victim and t["n"] == rec["deleted_docs"]
+
+    remaining = [r for r in rows if r[0] != victim]
+    fresh = _build(spark, remaining, tmp_path / "fresh")
+    el, ef = SearchEngine(spark, live), SearchEngine(spark, fresh)
+    for q in ("index search", "data", "engine text"):
+        truth = _result_keys(ef, q)
+        for engine_kind in ("flat", "local", "wand"):
+            assert _result_keys(el, q, engine=engine_kind) == truth, (
+                q, engine_kind,
+            )
+        # pre-pagination count (the _match_stats scan) excludes too
+        assert el.count_matches(q) == ef.count_matches(q), q
+    # per-repo statistics no longer see the repo (rows purged at
+    # tombstone time); totals' lemma count stays pre-delete by design
+    s = el.statistics()["statistics"]
+    assert victim not in {d["url"] for d in s["detailed"]}
+    assert s["total"]["pages"] == len(remaining)
+
+
+def test_tombstone_compact_equals_eager_delete(spark, corpus_rows, tmp_path):
+    """compact() applies accumulated tombstones with output content-
+    identical to eager deletes of the same repos — encoded runs, flat
+    postings, both stats relations, and the refreshed meta scalars."""
+    import json
+
+    rows = _multi_repo_subset(corpus_rows)
+    repos = sorted({r[0] for r in rows})
+    a = _build(spark, rows, tmp_path / "a")
+    b = _build(spark, rows, tmp_path / "b")
+
+    from searchengine_spark.index.maintain import compact
+
+    delete_repo(spark, a, repos[0])  # tombstone (default)
+    delete_repo(spark, a, repos[1])  # second vector accumulates
+    rec = compact(spark, a)
+    assert rec["tombstones_applied"] == 2
+
+    delete_repo(spark, b, repos[0], mode="eager")
+    delete_repo(spark, b, repos[1], mode="eager")
+
+    assert _encoded_runs(spark, a) == _encoded_runs(spark, b)
+    assert _postings_by_doc(spark, a) == _postings_by_doc(spark, b)
+    assert _term_stats(spark, a) == _term_stats(spark, b)
+    ma = json.load(open(os.path.join(a, "meta.json")))
+    mb = json.load(open(os.path.join(b, "meta.json")))
+    assert "tombstones" not in ma
+    assert ma["n_docs"] == mb["n_docs"]
+    assert ma["avgdl"] == pytest.approx(mb["avgdl"])
+    assert ma["n_terms"] == mb["n_terms"]
+    # compact on a vector-free index is a no-op
+    assert compact(spark, a)["tombstones_applied"] == 0
+
+
+def test_tombstone_noncontiguous_repo_excluded_exactly(
+    spark, corpus_rows, tmp_path
+):
+    """Tombstoning a repo whose ids are NOT contiguous (maintenance
+    added a doc after the build) records the exact id list and every
+    engine excludes exactly those docs — never a neighbor repo's ids
+    inside the widened [lo, hi]."""
+    import json
+
+    rows = _multi_repo_subset(corpus_rows)
+    repos = sorted({r[0] for r in rows})
+    victim = repos[0]
+    live = _build(spark, rows, tmp_path / "live")
+    reindex_doc(
+        spark, live, repo=victim, path="src/added/extra.py",
+        content="def extrafn(): return tombstonedsoon tokens here",
+    )
+    rec = delete_repo(spark, live, victim)
+    assert rec["mode"] == "tombstone" and rec["contiguous"] is False
+    meta = json.load(open(os.path.join(live, "meta.json")))
+    assert meta["tombstones"][0]["ids"], "exact id list expected"
+
+    eng = SearchEngine(spark, live)
+    for engine_kind in ("flat", "local", "wand"):
+        assert not eng.search_df(
+            "tombstonedsoon", k=5, engine=engine_kind
+        ).collect(), engine_kind
+    remaining = [r for r in rows if r[0] != victim]
+    fresh = _build(spark, remaining, tmp_path / "fresh")
+    ef = SearchEngine(spark, fresh)
+    for q in ("index search", "data text"):
+        truth = _result_keys(ef, q)
+        for engine_kind in ("flat", "local", "wand"):
+            assert _result_keys(eng, q, engine=engine_kind) == truth
+
+
+def test_tombstone_then_readd_same_repo_name(spark, corpus_rows, tmp_path):
+    """Doc ids are never reused, so re-adding a repo after tombstoning
+    it must keep the OLD docs deleted while the NEW doc (id above the
+    tombstone's high bound) is fully searchable — the id-bounded keep
+    condition, not a bare repo != R filter."""
+    rows = _multi_repo_subset(corpus_rows)
+    repos = sorted({r[0] for r in rows})
+    victim = repos[0]
+    live = _build(spark, rows, tmp_path / "live")
+    delete_repo(spark, live, victim)
+    rec = reindex_doc(
+        spark, live, repo=victim, path="src/back.py",
+        content="resurrectmarker index search data",
+    )
+    assert rec["new_doc"]
+    eng = SearchEngine(spark, live)
+    hits = eng.search("resurrectmarker", limit=5)
+    assert hits["count"] == 1 and hits["data"][0]["site"] == victim
+    # repo-scoped search sees ONLY the new doc
+    for engine_kind in ("flat", "local", "wand"):
+        got = eng.search_df(
+            "index search", k=50, engine=engine_kind, repo=victim
+        ).collect()
+        assert [int(r["doc_id"]) for r in got] == [rec["doc_id"]], engine_kind
+
+
+# ---------------------------------------------------------------------------
+# O(touched) write-shape assertions (VERDICT r4 #3) + term-sorted
+# invariant after maintenance (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+def test_reindex_writes_bounded_by_touched_partitions(
+    spark, corpus_rows, tmp_path
+):
+    """The file set rewritten by ONE reindex_doc is bounded by the
+    affected term buckets (flat postings, encoded runs, term_stats,
+    term_repo_stats — all partition-dir swaps), the sentinel upsert
+    (<= 1 rewritten file + 1 appended), and one doc_stats partition —
+    never a full-relation rewrite, independent of corpus size."""
+    from searchengine_spark.index.builder import DOC_ROW_BUCKET
+
+    rows = corpus_rows[:40]
+    live = _build(spark, rows, tmp_path / "live")
+    rels = [
+        "stage1_postings", "postings", "term_stats",
+        "term_repo_stats", "doc_stats",
+    ]
+    before = _file_snapshot(live, rels)
+    target = rows[7]
+    rec = reindex_doc(
+        spark, live, target[0], target[1], "bounded rewrite probe tokens"
+    )
+    after = _file_snapshot(live, rels)
+    changed = {
+        f for f in set(before) | set(after) if before.get(f) != after.get(f)
+    }
+    assert changed, "reindex must write something"
+    allowed_buckets = {f"bucket={b}" for b in rec["buckets_rewritten"]}
+    sentinel = f"bucket={DOC_ROW_BUCKET}"
+    for f in sorted(changed):
+        rel, _, rest = f.partition(os.sep)
+        sub = rest.split(os.sep, 1)[0] if rest else ""
+        if rel in ("stage1_postings", "postings", "term_stats", "term_repo_stats"):
+            ok = sub in allowed_buckets or (
+                rel == "stage1_postings" and sub == sentinel
+            )
+            assert ok, f"unexpected rewrite outside touched buckets: {f}"
+        elif rel == "doc_stats":
+            assert sub == f"ds_part={rec['doc_id'] % CFG.doc_stats_parts}", f
+        else:
+            raise AssertionError(f"unexpected relation touched: {f}")
+    sent_changed = [
+        f for f in changed if f.startswith(f"stage1_postings{os.sep}{sentinel}")
+    ]
+    assert len(sent_changed) <= 2  # one rewritten holder + one appended
+
+
+def _assert_term_sorted_files(index_dir, rel):
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.index.builder import DOC_ROW_BUCKET
+
+    checked = 0
+    base = os.path.join(index_dir, rel)
+    for root, _dirs, files in os.walk(base):
+        if f"bucket={DOC_ROW_BUCKET}" in root:
+            continue  # doclen sentinels (term="") live outside the invariant
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            terms = pq.read_table(
+                os.path.join(root, fn), columns=["term"]
+            )["term"].to_pylist()
+            assert terms == sorted(terms), os.path.join(root, fn)
+            checked += 1
+    assert checked > 0
+
+
+def test_postings_stay_term_sorted_after_reindex(spark, corpus_rows, tmp_path):
+    """ADVICE r4 (medium): maintenance must preserve the term-sorted-
+    file invariant that J2/_match_stats row-group pruning relies on —
+    in the rewritten flat buckets AND the re-encoded runs (the fresh-
+    build-only fixture test cannot catch a drift here)."""
+    rows = corpus_rows[:40]
+    live = _build(spark, rows, tmp_path / "live")
+    target = rows[11]
+    reindex_doc(
+        spark, live, target[0], target[1],
+        target[4] + "\nsortinvariant probe tokens",
+    )
+    _assert_term_sorted_files(live, "postings")
+    _assert_term_sorted_files(live, "stage1_postings")
